@@ -1,0 +1,33 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+The environment's sitecustomize registers a remote TPU ('axon') backend and
+sets jax_platforms='axon,cpu' in every process; eager test ops would each pay
+a tunnel round-trip. Tests must run on host CPU — override the config *after*
+import (env vars alone are clobbered by the site hook), which is also where
+multi-chip sharding paths are validated via
+--xla_force_host_platform_device_count, the JAX-standard pattern for testing
+pjit/shard_map without hardware.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

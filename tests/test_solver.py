@@ -1,0 +1,137 @@
+"""Dogleg Gauss-Newton solver tests: linear problems (exact in one step),
+Rosenbrock-style nonlinear LSQ vs scipy, masked parameters, batching."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.solver import DoglegOptions, dogleg_solve, batched_dogleg_solve
+from moshpp_tpu.priors import make_gmm_prior, gmm_prior_residual
+
+
+class TestDoglegLinear:
+    def test_linear_least_squares_exact(self, rng):
+        A = jnp.asarray(rng.normal(size=(20, 6)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(20,)), jnp.float32)
+        res = dogleg_solve(lambda x: A @ x - b, jnp.zeros(6),
+                           DoglegOptions(maxiter=50, delta_0=10.0, e_3=1e-8))
+        x_ref, *_ = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)
+        np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-4)
+
+    def test_converged_flag(self):
+        res = dogleg_solve(lambda x: x - 3.0, jnp.zeros(3))
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), 3.0, atol=1e-3)
+
+
+class TestDoglegNonlinear:
+    def test_rosenbrock_lsq(self):
+        # rosenbrock as residuals: [10(y - x^2), 1 - x]; optimum (1, 1)
+        def r(x):
+            return jnp.asarray([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+        res = dogleg_solve(r, jnp.asarray([-1.2, 1.0]),
+                           DoglegOptions(maxiter=200, e_3=1e-12, delta_0=0.5))
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+    def test_matches_scipy_on_exponential_fit(self, rng):
+        from scipy.optimize import least_squares
+        t = np.linspace(0, 3, 40)
+        y = 2.5 * np.exp(-1.3 * t) + 0.1
+        t_j, y_j = jnp.asarray(t, jnp.float32), jnp.asarray(y, jnp.float32)
+
+        def r(x):
+            return x[0] * jnp.exp(-x[1] * t_j) + x[2] - y_j
+
+        res = dogleg_solve(r, jnp.asarray([1.0, 1.0, 0.0]),
+                           DoglegOptions(maxiter=200, e_3=1e-10, delta_0=1.0))
+        ref = least_squares(
+            lambda x: x[0] * np.exp(-x[1] * t) + x[2] - y, [1.0, 1.0, 0.0])
+        np.testing.assert_allclose(np.asarray(res.x), ref.x, atol=1e-3)
+
+    def test_param_mask_freezes(self):
+        def r(x):
+            return x - jnp.asarray([5.0, 7.0, 9.0])
+
+        mask = jnp.asarray([1.0, 0.0, 1.0])
+        res = dogleg_solve(r, jnp.zeros(3), param_mask=mask)
+        out = np.asarray(res.x)
+        np.testing.assert_allclose(out[[0, 2]], [5.0, 9.0], atol=1e-3)
+        assert out[1] == 0.0
+
+
+class TestBatchedDogleg:
+    def test_batch_independent_problems(self, rng):
+        targets = jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)
+
+        def r(x, tgt):
+            return jnp.concatenate([x - tgt, (x[:1] ** 2 - tgt[:1])])
+
+        res = batched_dogleg_solve(r, jnp.zeros((16, 4)), targets,
+                                   DoglegOptions(maxiter=100, e_3=1e-9))
+        for i in range(16):
+            one = dogleg_solve(lambda x: r(x, targets[i]), jnp.zeros(4),
+                               DoglegOptions(maxiter=100, e_3=1e-9))
+            # batched linalg kernels reorder float reductions, so parameter
+            # paths can drift a few ulps-compounded; optima must still agree
+            np.testing.assert_allclose(np.asarray(res.x[i]), np.asarray(one.x), atol=2e-3)
+            np.testing.assert_allclose(float(res.cost[i]), float(one.cost),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_jit_and_vmap_compose(self, rng):
+        targets = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+
+        @jax.jit
+        def solve_all(t):
+            return batched_dogleg_solve(lambda x, tt: x - tt,
+                                        jnp.zeros((8, 3)), t).x
+
+        out = np.asarray(solve_all(targets))
+        np.testing.assert_allclose(out, np.asarray(targets), atol=1e-3)
+
+
+class TestGMMPrior:
+    def test_residual_energy_is_min_component(self, rng):
+        prior = make_gmm_prior(dim=10, num_components=4, seed=3)
+        x = jnp.asarray(rng.normal(size=(10,)), jnp.float32)
+        r = gmm_prior_residual(prior, x)
+        assert r.shape == (11,)
+        # energy must equal min over components of mahalanobis/2 - log w
+        diff = x[None] - prior.means
+        rs = np.sqrt(0.5) * np.einsum("kd,kde->ke", np.asarray(diff), np.asarray(prior.chols))
+        energies = (rs ** 2).sum(-1) + np.asarray(prior.sqrt_neg_log_w) ** 2
+        np.testing.assert_allclose(float((np.asarray(r) ** 2).sum()),
+                                   energies.min(), rtol=1e-5)
+
+    def test_gradient_pulls_to_nearest_mean(self):
+        prior = make_gmm_prior(dim=6, num_components=3, seed=5)
+
+        def energy(x):
+            r = gmm_prior_residual(prior, x)
+            return jnp.sum(r * r)
+
+        k = 1
+        x0 = prior.means[k]
+        g = np.asarray(jax.grad(energy)(x0 + 0.0))
+        assert np.all(np.isfinite(g))
+        # at a mean, gradient of its own component's term is ~0 if that
+        # component is selected
+        r = gmm_prior_residual(prior, x0)
+        comp_energy = float(jnp.sum(r * r))
+        diff = np.zeros_like(np.asarray(x0))
+        # descending the energy must not increase it
+        x1 = x0 - 0.01 * g
+        assert float(energy(x1)) <= comp_energy + 1e-4
+
+    def test_solver_with_prior_converges(self, rng):
+        prior = make_gmm_prior(dim=5, num_components=4, seed=7)
+        target = jnp.asarray(rng.normal(size=(5,)), jnp.float32)
+
+        def r(x):
+            return jnp.concatenate([3.0 * (x - target), 0.3 * gmm_prior_residual(prior, x)])
+
+        res = dogleg_solve(r, jnp.zeros(5), DoglegOptions(maxiter=100, e_3=1e-8))
+        # data term dominates: solution near target (prior shrinks it ~20%)
+        assert np.linalg.norm(np.asarray(res.x) - np.asarray(target)) < 0.45
+        assert float(res.cost) < float(jnp.sum(r(jnp.zeros(5)) ** 2))
