@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: stage-II mocap solve throughput (frames/sec/chip).
+
+Protocol: a real-scale SMPL+H problem — 10k-vertex synthetic body (same
+tensor shapes and FLOP profile as the licensed SMPL+H model), 46 markers,
+dof_per_hand=24 (pose dof 114), 8-component GMM body prior — solving BATCH
+frames of synthetic mocap generated from ground-truth motion, with the full
+production schedule (3 annealed prior solves + step-1 + step-2 + 2 smoothing
+sweeps, maxiter=100, the reference's stage-ii configuration).
+
+Prints one JSON line: frames/sec/chip vs the 5k north-star
+(BASELINE.json). The reference implementation solves these frames
+sequentially on CPU at O(1) fps.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from moshpp_tpu.models import make_synthetic_model, lbs_forward
+    from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                                 reconstruct_markers,
+                                                 select_frame_indices)
+    from moshpp_tpu.ops.surface import vertex_normals
+    from moshpp_tpu.pipeline.stageii import (StageIIOptions,
+                                             mosh_stageii_solve,
+                                             prepare_stageii_problem)
+    from moshpp_tpu.priors import make_gmm_prior
+
+    FRAMES = 2048
+    MARKERS = 46
+    rng = np.random.default_rng(0)
+
+    model = make_synthetic_model("smplh", num_verts=6890, seed=3,
+                                 dof_per_hand=24)
+    prior = make_gmm_prior(dim=63, num_components=8, seed=1, scale=0.3)
+
+    # ground-truth subject + motion
+    V = model.v_template.shape[0]
+    vids = rng.choice(V, MARKERS, replace=False)
+    betas = (rng.normal(size=16) * 0.4).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    latents = can_v[vids] + vn[vids] * 0.0095
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+
+    P = model.pose_dof
+    poses = np.zeros((FRAMES, P), np.float32)
+    poses[0] = rng.normal(size=P) * 0.15
+    for t in range(1, FRAMES):
+        poses[t] = 0.97 * poses[t - 1] + rng.normal(size=P).astype(np.float32) * 0.02
+    trans = np.cumsum(rng.normal(size=(FRAMES, 3)) * 0.005, 0).astype(np.float32)
+
+    def sim(p, t):
+        verts = lbs_forward(model, p, jnp.asarray(betas), t)
+        return reconstruct_markers(verts, idx, coeffs)
+
+    obs = np.asarray(jax.jit(jax.vmap(sim))(jnp.asarray(poses), jnp.asarray(trans)))
+    mask = np.ones((FRAMES, MARKERS), bool)
+
+    opts = StageIIOptions(maxiter=100, smoothing_sweeps=2)
+    prob = prepare_stageii_problem(model, betas, latents, opts=opts)
+
+    solve = jax.jit(lambda pr, o, m: mosh_stageii_solve(
+        pr, opts, o, m, prior=prior, model_type="smplh"))
+
+    # warmup / compile
+    res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
+    jax.block_until_ready(res.trans)
+
+    t0 = time.perf_counter()
+    res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
+    jax.block_until_ready(res.trans)
+    dt = time.perf_counter() - t0
+
+    fps = FRAMES / dt
+    err_mm = float(np.mean(np.asarray(res.data_err))) * 1000.0
+
+    print(json.dumps({
+        "metric": "stageii_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 5000.0, 3),
+        "detail": {
+            "frames": FRAMES, "markers": MARKERS, "pose_dof": P,
+            "mean_marker_err_mm": round(err_mm, 4),
+            "solve_seconds": round(dt, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,8 @@ def load_surface_model(surface_model_fname: Union[str, Path],
         elif "hands_components" in dd:  # synthetic fixture convention
             hands_components = _to_np(dd["hands_components"]).astype(dtype)
             hands_mean = _to_np(dd["hands_mean"]).astype(dtype)
+            # stored components are already truncated; keep dof consistent
+            dof_per_hand = hands_components.shape[0] // max(info.num_hands, 1)
         else:
             assert pose_hand_prior_fname is not None, (
                 f"{model_type} requires pose_hand_prior_fname (componentsl/r npz)")

@@ -1,0 +1,83 @@
+"""Multi-chip scaling of the MoSh solvers over a JAX device mesh.
+
+The reference scales by launching many independent CPU processes with
+filesystem job claiming (`tools/run_tools.py:45-67`); here the frame axis of
+stage-ii — embarrassingly parallel after pass A, Jacobi-coupled in pass B —
+is sharded over a TPU mesh with `jax.sharding.NamedSharding`, so one program
+solves a whole sequence (or a batch of sequences) across chips over ICI. The
+only cross-chip data dependence is the velocity-anchor halo in the smoothing
+sweeps (a shifted gather XLA lowers to a ppermute-style collective).
+
+Multi-host AMASS-scale sweeps compose this with `jax.distributed` process
+groups over DCN, one sequence batch per host group, plus the idempotent
+filesystem cache in `pipeline/jobs.py` for fleet-level retries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, StageIIProblem,
+                                         StageIIResult, mosh_stageii_solve)
+
+
+def frame_mesh(devices=None, axis_name: str = "frames") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def pad_frames(obs: np.ndarray, mask: np.ndarray, multiple: int):
+    """Pad the frame axis to a device-count multiple with all-missing frames.
+
+    Padded frames have zero observed markers; the solver's per-frame weights
+    are availability-driven so they converge instantly and are sliced away.
+    """
+    F = obs.shape[0]
+    pad = (-F) % multiple
+    if pad == 0:
+        return obs, mask, F
+    obs_p = np.concatenate([obs, np.zeros((pad,) + obs.shape[1:], obs.dtype)])
+    mask_p = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+    return obs_p, mask_p, F
+
+
+def mosh_stageii_solve_sharded(prob: StageIIProblem,
+                               opts: StageIIOptions,
+                               obs: np.ndarray,
+                               mask: np.ndarray,
+                               prior=None,
+                               model_type: Optional[str] = None,
+                               mesh: Optional[Mesh] = None) -> StageIIResult:
+    """Stage-ii solve with the frame axis sharded over the mesh.
+
+    The problem context (subsetted model, coeffs, betas, prior) is replicated;
+    observations/masks/results are frame-sharded. Works on any device count
+    that divides the (padded) frame count.
+    """
+    mesh = mesh if mesh is not None else frame_mesh()
+    n_dev = np.prod([mesh.shape[a] for a in mesh.axis_names])
+    axis = mesh.axis_names[0]
+    obs_p, mask_p, F = pad_frames(np.asarray(obs, np.float32),
+                                  np.asarray(mask, bool), int(n_dev))
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    obs_d = jax.device_put(obs_p, shard)
+    mask_d = jax.device_put(mask_p, shard)
+    prob_d = jax.device_put(prob, repl)
+    prior_d = jax.device_put(prior, repl) if prior is not None else None
+
+    @partial(jax.jit, out_shardings=None)
+    def run(p, o, m):
+        return mosh_stageii_solve(p, opts, o, m, prior=prior_d,
+                                  model_type=model_type)
+
+    res = run(prob_d, obs_d, mask_d)
+    return StageIIResult(*(np.asarray(v)[:F] for v in res))

@@ -1,0 +1,11 @@
+from moshpp_tpu.pipeline.stageii import (
+    StageIIOptions,
+    StageIIResult,
+    prepare_stageii_problem,
+    mosh_stageii_solve,
+)
+from moshpp_tpu.pipeline.stagei import (
+    StageIOptions,
+    StageIResult,
+    mosh_stagei_solve,
+)

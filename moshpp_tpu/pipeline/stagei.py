@@ -1,0 +1,401 @@
+"""Stage I — joint estimation of subject shape (betas), latent marker
+placements, and per-frame poses from ~12 sampled frames.
+
+Reference: `chmosh.py:83-455` — 12 chumpy models sharing one betas array,
+TransformedCoeffs/Lms marker transport, a signed surface-distance term
+keeping latent markers at their nominal skin offset, a per-type init
+(anchor) term, GMM pose prior, and a 4-step weight-annealing schedule
+[1, .5, .25, .125] each ending in a dogleg solve.
+
+TPU formulation: all 12 frames live in ONE packed parameter vector
+  x = [betas | markers_latent | poses (F x P) | trans (F x 3) | exprs?]
+so the shared-beta coupling is exact (one dense Gauss-Newton system rather
+than 12 graphs aliasing one array). Per annealing step, the discrete
+structure — marker-frame vertex triples (the 8-NN of TransformedCoeffs,
+transformed_lm.py:73-74), candidate triangles for the surface term (the CGAL
+AABB query, mesh_distance_main.py:321-336), vertex-subset gathers — is
+frozen outside jit, then one batched dogleg runs with static shapes. The
+reference recomputes these inside every iteration but treats them as
+constants for derivatives; freezing per annealing step matches its
+differentiation semantics while letting XLA compile once.
+
+Unlike the chumpy implementation, shared betas and per-frame facial
+expressions can be optimized together here (no double-indexing restriction —
+cf. the reference's NotImplementedError at chmosh.py:288-291 and the
+workaround comment in bodymodel_loader.py:141-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
+                                          lbs_forward, pose_part_ids)
+from moshpp_tpu.ops.knn import nearest_vertex
+from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices,
+                                             marker_coeffs,
+                                             reconstruct_markers,
+                                             select_frame_indices)
+from moshpp_tpu.ops.point_mesh import closest_point_on_triangles
+from moshpp_tpu.ops.rigid_align import kabsch
+from moshpp_tpu.ops.rodrigues import rodrigues_inverse
+from moshpp_tpu.ops.robustifiers import signed_sqrt
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.priors.gmm import MaxMixturePrior, gmm_prior_residual
+from moshpp_tpu.solver.gauss_newton import DoglegOptions, dogleg_solve
+
+NUM_TRAIN_MARKERS = 46.0  # chmosh.py:101
+
+DEFAULT_STAGEI_WEIGHTS = {
+    # smplh/smplx table, support_data/conf/moshpp_conf.yaml:105-117
+    "poseH": 3.0, "poseF": 3.0, "expr": 34.0, "poseB": 3.0,
+    "init_finger_left": 400.0, "init_finger_right": 400.0, "init_finger": 400.0,
+    "betas": 10.0, "init": 300.0, "data": 75.0, "surf": 10000.0,
+    "annealing": (1.0, 0.5, 0.25, 0.125),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class StageIOptions:
+    optimize_fingers: bool = False
+    optimize_face: bool = False
+    optimize_toes: bool = False
+    optimize_betas: bool = True
+    num_betas: int = 16
+    num_expressions: int = 10
+    expr_start: int = 300
+    maxiter: int = 100
+    e_3: float = 1e-3            # opt_settings.stagei_lr
+    knn_k: int = 8
+    surf_candidates: int = 32    # exact-distance faces per marker
+    weights: Optional[Dict] = None
+
+    def wt(self, key: str, default=None):
+        w = dict(DEFAULT_STAGEI_WEIGHTS)
+        w.update(self.weights or {})
+        if default is not None and key not in w:
+            return default
+        return w[key]
+
+
+class StageIResult(NamedTuple):
+    betas: np.ndarray
+    markers_latent: np.ndarray           # (M, 3)
+    latent_labels: List[str]
+    markers_latent_vids: Dict[str, int]  # nearest-vid snap per label
+    poses: np.ndarray                    # (F, P)
+    trans: np.ndarray                    # (F, 3)
+    exprs: Optional[np.ndarray]          # (F, ne) when optimize_face
+    errs: Dict[str, float]
+    markers_sim: np.ndarray              # (F, M, 3)
+
+
+class _Layout(NamedTuple):
+    """Static offsets into the packed parameter vector."""
+    nb: int
+    M: int
+    F: int
+    P: int
+    ne: int
+
+    @property
+    def dim(self):
+        return self.nb + 3 * self.M + self.F * (self.P + 3) + self.F * self.ne
+
+    def split(self, x):
+        o = 0
+        betas = x[o:o + self.nb]; o += self.nb
+        latents = x[o:o + 3 * self.M].reshape(self.M, 3); o += 3 * self.M
+        poses = x[o:o + self.F * self.P].reshape(self.F, self.P); o += self.F * self.P
+        trans = x[o:o + 3 * self.F].reshape(self.F, 3); o += 3 * self.F
+        exprs = x[o:].reshape(self.F, self.ne) if self.ne else None
+        return betas, latents, poses, trans, exprs
+
+    def pack(self, betas, latents, poses, trans, exprs=None):
+        parts = [jnp.ravel(betas), jnp.ravel(latents), jnp.ravel(poses),
+                 jnp.ravel(trans)]
+        if self.ne:
+            parts.append(jnp.ravel(exprs))
+        return jnp.concatenate(parts)
+
+
+def _full_can_verts(model, betas):
+    nb = betas.shape[-1]
+    return model.v_template + jnp.einsum("vcb,b->vc", model.shapedirs[..., :nb], betas)
+
+
+def _init_latents(model: SurfaceModel, layout_vids: np.ndarray,
+                  m2b: np.ndarray) -> np.ndarray:
+    """Initial latent markers: layout vertex + skin offset along the vertex
+    normal (prepare_mosh_markers_latent, chmosh.py:57-80)."""
+    can_v = np.asarray(model.v_template)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    return can_v[layout_vids] + vn[layout_vids] * m2b[:, None]
+
+
+def mosh_stagei_solve(model: SurfaceModel,
+                      frames_obs: np.ndarray,
+                      frames_mask: np.ndarray,
+                      latent_labels: List[str],
+                      layout_vids: np.ndarray,
+                      m2b: np.ndarray,
+                      type_masks: Dict[str, np.ndarray],
+                      opts: StageIOptions = StageIOptions(),
+                      prior: Optional[MaxMixturePrior] = None,
+                      betas_init: Optional[np.ndarray] = None,
+                      exclude_vertex_mask: Optional[np.ndarray] = None) -> StageIResult:
+    """Run the full annealed stage-i solve.
+
+    Args:
+      frames_obs: (F, M, 3) observed markers (meters), aligned to
+        latent_labels; frames_mask (F, M) availability.
+      layout_vids/m2b/type_masks: from `markers.layout.layout_arrays`.
+      betas_init: precomputed betas (chmosh.py:93-98) — optimization of betas
+        still follows opts.optimize_betas.
+    """
+    model_type = model.model_type
+    info = MODEL_TYPE_INFO[model_type]
+    parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
+    F, M = frames_mask.shape
+    P = model.pose_dof
+    nb = opts.num_betas
+    ne = opts.num_expressions if opts.optimize_face else 0
+    lay = _Layout(nb=nb, M=M, F=F, P=P, ne=ne)
+    wt = opts.wt
+
+    frames_obs = jnp.asarray(frames_obs, jnp.float32)
+    maskf = jnp.asarray(frames_mask, jnp.float32)
+    faces_np = np.asarray(model.faces)
+
+    if exclude_vertex_mask is None:
+        from moshpp_tpu.markers.vids import smplx_eyeball_mask
+        exclude_vertex_mask = smplx_eyeball_mask(model.v_template.shape[0])
+    exclude_vertex_mask = jnp.asarray(exclude_vertex_mask)
+
+    latents0 = _init_latents(model, layout_vids, m2b)
+    m2b_j = jnp.asarray(m2b, jnp.float32)
+
+    # per-frame data weight: the reference divides by total latent count, not
+    # per-frame availability, in stage-i (chmosh.py:327)
+    base_wt_data = wt("data") * (NUM_TRAIN_MARKERS / M)
+
+    body_ids = jnp.asarray([i for i in parts["body"] or [] ], jnp.int32) \
+        if parts["body"] else None
+    # prior over the full body slice incl toes (chmosh.py:354)
+    prior_ids = None
+    if parts["body"]:
+        full_body = pose_part_ids(model_type, optimize_toes=True)["body"]
+        prior_ids = jnp.asarray(full_body, jnp.int32)
+
+    face_ids = parts["face"]
+
+    # state
+    betas = jnp.zeros(nb, jnp.float32)
+    if betas_init is not None:
+        betas = jnp.asarray(betas_init[:nb], jnp.float32)
+    latents = jnp.asarray(latents0, jnp.float32)
+    poses = jnp.zeros((F, P), jnp.float32)
+    trans = jnp.zeros((F, 3), jnp.float32)
+    exprs = jnp.zeros((F, ne), jnp.float32)
+
+    # rigid init per frame against the rest-pose simulated markers
+    # (perform_rigid_adjustment, chmosh.py:228)
+    can_v0 = _full_can_verts(model, betas)
+    idx0 = select_frame_indices(can_v0, latents, k=opts.knn_k,
+                                exclude_mask=exclude_vertex_mask)
+    sim_rest = reconstruct_markers(can_v0, idx0, marker_coeffs(can_v0, latents, idx0))
+    j0 = model.joint_template[0] + model.joint_shapedirs[0, :, :nb] @ betas
+
+    def _rigid(obs, m):
+        rot, t = kabsch(sim_rest, obs, m)
+        return t + rot @ j0 - j0, rodrigues_inverse(rot)
+
+    tr0, rv0 = jax.vmap(_rigid)(frames_obs, maskf)
+    trans = tr0
+    poses = poses.at[:, :3].set(rv0)
+
+    # init anchors (init_markers_latent, chmosh.py:190-191, 360-373)
+    init_anchor = jnp.asarray(latents0, jnp.float32)
+    # per-marker init weight by type (wt_init tables, chmosh.py:329-330)
+    init_wt_type = np.full(M, wt("init"), np.float32)
+    for t, m in type_masks.items():
+        init_wt_type[np.asarray(m, bool)] = wt(f"init_{t}", wt("init"))
+    init_wt_type = jnp.asarray(init_wt_type)
+
+    annealing = tuple(wt("annealing"))
+    errs: Dict[str, float] = {}
+
+    for tidx, anneal in enumerate(annealing):
+        detailed = tidx > len(annealing) - 3  # last two steps, chmosh.py:314
+
+        # ---- freeze discrete structure at current state (host) -------------
+        can_v = _full_can_verts(model, betas)
+        idx = select_frame_indices(can_v, latents, k=opts.knn_k,
+                                   exclude_mask=exclude_vertex_mask)
+        stacked = np.asarray(idx.stacked)
+        vn_frozen = vertex_normals(can_v, model.faces)
+
+        # candidate faces per marker for the surface term
+        centroids = np.asarray(can_v)[faces_np].mean(axis=1)
+        d_cent = (np.linalg.norm(np.asarray(latents)[:, None] - centroids[None], axis=-1))
+        cand_faces = np.argsort(d_cent, axis=1)[:, :opts.surf_candidates]  # (M, K)
+        cand_corner_vids = faces_np[cand_faces]                            # (M, K, 3)
+
+        # vertex unions + local remaps
+        can_union = np.unique(np.concatenate(
+            [stacked.ravel(), cand_corner_vids.ravel()]))
+        can_remap = {v: i for i, v in enumerate(can_union)}
+        idx_can_local = MarkerFrameIndices(
+            *(jnp.asarray(np.vectorize(can_remap.get)(stacked[:, i]), jnp.int32)
+              for i in range(3)))
+        cand_local = jnp.asarray(
+            np.vectorize(can_remap.get)(cand_corner_vids), jnp.int32)
+
+        data_union = np.unique(stacked)
+        data_remap = {v: i for i, v in enumerate(data_union)}
+        idx_posed_local = MarkerFrameIndices(
+            *(jnp.asarray(np.vectorize(data_remap.get)(stacked[:, i]), jnp.int32)
+              for i in range(3)))
+
+        sub_model = model.subset(data_union)          # LBS path (12 frames)
+        can_template = jnp.asarray(np.asarray(model.v_template)[can_union])
+        can_shapedirs = jnp.asarray(np.asarray(model.shapedirs)[can_union][..., :nb])
+        vn_cand = jax.lax.stop_gradient(vn_frozen)    # (V, 3), constant
+
+        # frozen sign normals at candidate corners (M, K, 3, 3)
+        vn_corners = jnp.asarray(np.asarray(vn_frozen)[cand_corner_vids])
+
+        # ---- weights for this annealing step --------------------------------
+        wt_data = base_wt_data / anneal
+        wt_poseB = wt("poseB") * anneal
+        wt_beta = wt("betas") * anneal
+        wt_init_step = init_wt_type * anneal
+        wt_surf = wt("surf")
+        wt_poseH = wt("poseH") * anneal
+        wt_poseF = wt("poseF") * anneal
+        wt_expr = wt("expr") * anneal
+
+        def residual(x):
+            b, lat, ps, tr, ex = lay.split(x)
+            can_sub = can_template + jnp.einsum("vcb,b->vc", can_shapedirs, b)
+            coeffs = marker_coeffs(can_sub, lat, idx_can_local)
+            terms = []
+
+            def frame_betas(ex_f):
+                if not ne:
+                    return b
+                es = min(opts.expr_start, model.num_shape_dirs - ne)
+                out = jnp.zeros(es + ne, b.dtype).at[:nb].set(b)
+                return out.at[es:].set(ex_f)
+
+            def one_frame(pose_f, trans_f, ex_f, obs_f, mask_f):
+                verts = lbs_forward(sub_model, pose_f, frame_betas(ex_f), trans_f)
+                sim = reconstruct_markers(verts, idx_posed_local, coeffs)
+                return ((obs_f - sim) * mask_f[:, None]).reshape(-1)
+
+            ex_arg = ex if ne else jnp.zeros((F, 0), x.dtype)
+            rdata = jax.vmap(one_frame)(ps, tr, ex_arg, frames_obs, maskf)
+            terms.append(rdata.reshape(-1) * wt_data)
+
+            if prior is not None and prior_ids is not None:
+                rp = jax.vmap(lambda p: gmm_prior_residual(prior, p[prior_ids]))(ps)
+                terms.append(rp.reshape(-1) * wt_poseB)
+
+            terms.append(((lat - init_anchor) * wt_init_step[:, None]).reshape(-1))
+
+            if opts.optimize_betas:
+                terms.append(b * wt_beta)
+
+            # surface term: signed distance to frozen candidate faces
+            a = can_sub[cand_local[..., 0]]
+            bb = can_sub[cand_local[..., 1]]
+            cc = can_sub[cand_local[..., 2]]
+            pts = lat[:, None, :]
+            bary = closest_point_on_triangles(pts, a, bb, cc)   # (M, K, 3)
+            cp = bary[..., 0:1] * a + bary[..., 1:2] * bb + bary[..., 2:3] * cc
+            sq = jnp.sum((pts - cp) ** 2, axis=-1)              # (M, K)
+            best = jax.lax.stop_gradient(jnp.argmin(sq, axis=1))
+            mi = jnp.arange(M)
+            cp_best = cp[mi, best]
+            sq_best = sq[mi, best]
+            n_best = jnp.sum(vn_corners[mi, best] * bary[mi, best][..., None], axis=1)
+            sign = jnp.sign(jnp.sum((lat - cp_best) * jax.lax.stop_gradient(n_best), -1))
+            sign = jnp.where(sign == 0, 1.0, sign)
+            sdist = sign * jnp.sqrt(sq_best + 1e-12)
+            terms.append((sdist - m2b_j) * wt_surf)
+
+            if detailed and opts.optimize_fingers and info.has_hands:
+                terms.append((ps[:, info.body_pose_dof:] * wt_poseH).reshape(-1))
+            if detailed and opts.optimize_face and face_ids:
+                fid = jnp.asarray(face_ids, jnp.int32)
+                terms.append((ps[:, fid] * wt_poseF).reshape(-1))
+                terms.append((ex * wt_expr).reshape(-1))
+
+            return jnp.concatenate(terms)
+
+        # ---- parameter mask for this step -----------------------------------
+        pmask = np.zeros(lay.dim, np.float32)
+        if opts.optimize_betas:
+            pmask[:nb] = 1.0
+        pmask[nb:nb + 3 * M] = 1.0
+        pose_on = list(parts["root"]) + list(parts["body"])
+        if detailed and opts.optimize_fingers and info.has_hands:
+            pose_on += list(range(info.body_pose_dof, P))
+        if detailed and opts.optimize_face:
+            pose_on += list(face_ids)
+        o = nb + 3 * M
+        for f in range(F):
+            for i in sorted(set(pose_on)):
+                pmask[o + f * P + i] = 1.0
+        pmask[o + F * P: o + F * P + 3 * F] = 1.0   # trans
+        if ne and detailed and opts.optimize_face:
+            pmask[o + F * P + 3 * F:] = 1.0
+
+        x0 = lay.pack(betas, latents, poses, trans, exprs if ne else None)
+        res = jax.jit(lambda xx: dogleg_solve(
+            residual, xx,
+            DoglegOptions(maxiter=opts.maxiter, e_3=opts.e_3, delta_0=0.5),
+            param_mask=jnp.asarray(pmask)))(x0)
+        betas, latents, poses, trans, ex_new = lay.split(res.x)
+        if ne:
+            exprs = ex_new
+
+    # ---- outputs -------------------------------------------------------------
+    can_v = _full_can_verts(model, betas)
+    snap = np.asarray(nearest_vertex(latents, can_v))
+    markers_latent_vids = {l: int(v) for l, v in zip(latent_labels, snap)}
+
+    idx = select_frame_indices(can_v, latents, k=opts.knn_k,
+                               exclude_mask=exclude_vertex_mask)
+    coeffs = marker_coeffs(can_v, latents, idx)
+
+    def sim_frame(pose_f, trans_f, ex_f):
+        if ne:
+            es = min(opts.expr_start, model.num_shape_dirs - ne)
+            fb = jnp.zeros(es + ne, betas.dtype).at[:nb].set(betas).at[es:].set(ex_f)
+        else:
+            fb = betas
+        verts = lbs_forward(model, pose_f, fb, trans_f)
+        return reconstruct_markers(verts, idx, coeffs)
+
+    sims = jax.vmap(sim_frame)(poses, trans,
+                               exprs if ne else jnp.zeros((F, 0)))
+    err = np.asarray(jnp.sqrt(jnp.sum((sims - frames_obs) ** 2, -1)) * maskf)
+    errs["data_mean_m"] = float(err.sum() / max(np.asarray(maskf).sum(), 1))
+
+    return StageIResult(
+        betas=np.asarray(betas),
+        markers_latent=np.asarray(latents),
+        latent_labels=list(latent_labels),
+        markers_latent_vids=markers_latent_vids,
+        poses=np.asarray(poses),
+        trans=np.asarray(trans),
+        exprs=np.asarray(exprs) if ne else None,
+        errs=errs,
+        markers_sim=np.asarray(sims),
+    )

@@ -1,0 +1,402 @@
+"""Stage II — per-frame pose (+trans, +DMPL, +expression) estimation.
+
+The reference solves mocap frames *sequentially*, warm-starting each frame
+from the previous one (`chmosh.py:458-741`: rigid init + 3-stage annealed
+prior schedule on the first frame :629-655, then per frame a trans+body solve
+:665-671 and a full-pose solve :676-705, with a velocity-extrapolation
+anchor from the two previous frames :624-626).
+
+The TPU formulation makes the frame axis data-parallel:
+
+  pass A (independent): every frame gets the reference's *first-frame*
+    treatment — per-frame Kabsch rigid init, then batched dogleg solves with
+    the annealed pose-prior schedule [10w, 5w, w], then the step-1
+    (trans+body, e_3=.01) and step-2 (full pose) solves — all `vmap`ped.
+  pass B (smoothing sweeps): the sequential velocity term
+    pose_t ~ 2 pose_{t-1} - pose_{t-2} is re-created by Jacobi sweeps:
+    anchors computed from the previous sweep's solutions, then one batched
+    step-2 re-solve. Two sweeps reproduce the warm-start smoothness
+    semantics without any sequential dependency.
+
+Weight semantics match the reference exactly: wt_data scales by
+46/num_observed (chmosh.py:603), prior weights scale by the missing-marker
+anneal factor 1 + missing_frac * stageii_wt_annealing (:596-609).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
+                                          fullpose_from_pose, lbs_forward,
+                                          pose_part_ids)
+from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices, marker_coeffs,
+                                             reconstruct_markers,
+                                             select_frame_indices)
+from moshpp_tpu.ops.rigid_align import kabsch
+from moshpp_tpu.ops.rodrigues import rodrigues_inverse
+from moshpp_tpu.priors.gmm import MaxMixturePrior, gmm_prior_residual
+from moshpp_tpu.solver.gauss_newton import (DoglegOptions, batched_dogleg_solve)
+
+NUM_TRAIN_MARKERS = 46.0  # weight-normalization constant (chmosh.py:460)
+
+DEFAULT_STAGEII_WEIGHTS = {
+    # smplh/smplx table, support_data/conf/moshpp_conf.yaml:118-125
+    "data": 400.0, "velo": 2.5, "dmpl": 1.0, "expr": 1.0,
+    "poseB": 1.6, "poseH": 1.0, "poseF": 1.0, "annealing": 2.5,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class StageIIOptions:
+    optimize_fingers: bool = False
+    optimize_face: bool = False
+    optimize_toes: bool = False
+    optimize_dynamics: bool = False
+    num_betas: int = 16
+    num_dmpls: int = 8
+    num_expressions: int = 10
+    expr_start: int = 300        # betas_expr_start_id for smplx
+    maxiter: int = 100
+    smoothing_sweeps: int = 2
+    weights: Optional[Dict[str, float]] = None
+    knn_k: int = 8
+
+    def wt(self, key: str) -> float:
+        return (self.weights or DEFAULT_STAGEII_WEIGHTS).get(
+            key, DEFAULT_STAGEII_WEIGHTS[key])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StageIIProblem:
+    """Frozen per-subject context: vertex-subsetted model + marker transport."""
+    sub_model: SurfaceModel
+    frame_c0: jnp.ndarray     # (M,) local (subsetted) vertex indices
+    frame_c1: jnp.ndarray
+    frame_c2: jnp.ndarray
+    coeffs: jnp.ndarray       # (M, 3) frozen latent-marker coefficients
+    betas: jnp.ndarray        # (B,) frozen subject shape
+
+    @property
+    def indices(self) -> MarkerFrameIndices:
+        return MarkerFrameIndices(self.frame_c0, self.frame_c1, self.frame_c2)
+
+    @property
+    def num_markers(self) -> int:
+        return self.coeffs.shape[0]
+
+
+class StageIIResult(NamedTuple):
+    trans: jnp.ndarray         # (F, 3)
+    pose: jnp.ndarray          # (F, P) optimization pose vector
+    fullpose: jnp.ndarray      # (F, 3*J) expanded axis-angles
+    extra: jnp.ndarray         # (F, E) dmpls or expressions (E may be 0)
+    markers_sim: jnp.ndarray   # (F, M, 3)
+    data_err: jnp.ndarray      # (F,) mean distance over observed markers (m)
+    iterations: jnp.ndarray    # (F,) iterations of the final solve
+
+
+def _canonical_verts(model: SurfaceModel, betas: jnp.ndarray) -> jnp.ndarray:
+    """Canonical (zero-pose) body: v_template + shapedirs . betas."""
+    nb = betas.shape[-1]
+    return model.v_template + jnp.einsum(
+        "vcb,b->vc", model.shapedirs[..., :nb], betas)
+
+
+def prepare_stageii_problem(model: SurfaceModel,
+                            betas: np.ndarray,
+                            markers_latent: np.ndarray,
+                            opts: StageIIOptions = StageIIOptions(),
+                            exclude_vertex_mask: Optional[np.ndarray] = None) -> StageIIProblem:
+    """Freeze the stage-i outputs into a solver context.
+
+    Computes the latent markers' local frames on the canonical shaped body
+    (TransformedCoeffs with constant inputs, chmosh.py:502-503), then gathers
+    the model to the union of frame vertices so every solver iteration only
+    skins O(markers) vertices.
+    """
+    betas = jnp.asarray(betas, jnp.float32)
+    markers_latent = jnp.asarray(markers_latent, jnp.float32)
+    can_verts = _canonical_verts(model, betas)
+
+    if exclude_vertex_mask is None:
+        from moshpp_tpu.markers.vids import smplx_eyeball_mask
+        exclude_vertex_mask = smplx_eyeball_mask(can_verts.shape[0])
+    idx = select_frame_indices(can_verts, markers_latent, k=opts.knn_k,
+                               exclude_mask=jnp.asarray(exclude_vertex_mask))
+    coeffs = marker_coeffs(can_verts, markers_latent, idx)
+
+    stacked = np.asarray(idx.stacked)                  # (M, 3) global vids
+    union, local = np.unique(stacked, return_inverse=True)
+    local = local.reshape(stacked.shape).astype(np.int32)
+    sub_model = model.subset(union)
+
+    return StageIIProblem(
+        sub_model=sub_model,
+        frame_c0=jnp.asarray(local[:, 0]),
+        frame_c1=jnp.asarray(local[:, 1]),
+        frame_c2=jnp.asarray(local[:, 2]),
+        coeffs=coeffs,
+        betas=betas,
+    )
+
+
+# ---------------------------------------------------------------------------
+# residual assembly
+# ---------------------------------------------------------------------------
+
+def _num_extra(model: SurfaceModel, opts: StageIIOptions) -> int:
+    if opts.optimize_dynamics:
+        return opts.num_dmpls
+    if opts.optimize_face:
+        return opts.num_expressions
+    return 0
+
+
+def _betas_for_lbs(prob: StageIIProblem, model: SurfaceModel,
+                   opts: StageIIOptions, extra: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the shape-coefficient vector seen by LBS for one frame."""
+    nb = opts.num_betas
+    base = prob.betas[:nb]
+    if opts.optimize_dynamics:
+        # DMPL components occupy shapedirs columns [nb, nb+num_dmpls)
+        # (the reference splices dmpl eigvecs there, chmosh.py:507-514)
+        return jnp.concatenate([base, extra])
+    if opts.optimize_face:
+        es = min(opts.expr_start, model.num_shape_dirs - opts.num_expressions)
+        width = es + opts.num_expressions
+        out = jnp.zeros(width, base.dtype).at[:nb].set(base)
+        return out.at[es:es + opts.num_expressions].set(extra)
+    return base
+
+
+def _split_x(x: jnp.ndarray, pose_dof: int):
+    trans = x[:3]
+    pose = x[3:3 + pose_dof]
+    extra = x[3 + pose_dof:]
+    return trans, pose, extra
+
+
+def simulate_markers(prob: StageIIProblem, opts: StageIIOptions,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """Markers (M, 3) simulated from one packed parameter vector."""
+    model = prob.sub_model
+    trans, pose, extra = _split_x(x, model.pose_dof)
+    betas = _betas_for_lbs(prob, model, opts, extra)
+    verts = lbs_forward(model, pose, betas, trans)
+    return reconstruct_markers(verts, prob.indices, prob.coeffs)
+
+
+def make_stageii_residual(prob: StageIIProblem,
+                          opts: StageIIOptions,
+                          prior: Optional[MaxMixturePrior],
+                          model_type: str):
+    """Build the per-frame residual fn r(x, aux) -> (R,).
+
+    aux leaves (per frame):
+      markers (M, 3), mask (M,), wt_data (), anneal (),
+      velo_anchor (D,), velo_on (), extra_anchor (E,), extra_on ()
+    """
+    info = MODEL_TYPE_INFO[model_type]
+    parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
+    body_ids = jnp.asarray(
+        [i for i in pose_part_ids(model_type, optimize_toes=True)["body"] if i >= 3],
+        jnp.int32) if parts["body"] else None
+    # prior acts on the full (toes included) body slice, chmosh.py:614
+    face_ids = jnp.asarray(parts["face"], jnp.int32) if parts["face"] else None
+    pose_dof = None  # resolved at call time from prob
+
+    wt = opts.wt
+    M = prob.num_markers
+
+    def residual(x: jnp.ndarray, aux) -> jnp.ndarray:
+        model = prob.sub_model
+        trans, pose, extra = _split_x(x, model.pose_dof)
+        sim = simulate_markers(prob, opts, x)
+        terms = []
+
+        rdata = (sim - aux["markers"]) * aux["mask"][:, None]
+        terms.append(rdata.reshape(-1) * aux["wt_data"])
+
+        if prior is not None and body_ids is not None:
+            rp = gmm_prior_residual(prior, pose[body_ids])
+            terms.append(rp * (wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]))
+
+        if opts.optimize_fingers and info.has_hands:
+            fingers = pose[info.body_pose_dof:]
+            terms.append(fingers * (wt("poseH") * aux["anneal"]))
+
+        if opts.optimize_face and face_ids is not None:
+            terms.append(pose[face_ids] * (wt("poseF") * aux["anneal"]))
+            terms.append(extra * wt("expr"))
+
+        if opts.optimize_dynamics:
+            terms.append(extra * wt("dmpl"))
+            terms.append((extra - aux["extra_anchor"]) * (6.0 * aux["extra_on"]))
+
+        # velocity extrapolation anchor over the full pose vector
+        terms.append((pose - aux["velo_anchor"]) * (wt("velo") * aux["velo_on"]))
+
+        return jnp.concatenate(terms)
+
+    return residual
+
+
+def _param_masks(model: SurfaceModel, opts: StageIIOptions, model_type: str):
+    """(step1, step2) binary masks over the packed x vector."""
+    info = MODEL_TYPE_INFO[model_type]
+    parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
+    P = model.pose_dof
+    E = _num_extra(model, opts)
+    D = 3 + P + E
+
+    step1 = np.zeros(D, np.float32)
+    step1[:3] = 1.0
+    for i in parts["root"] + parts["body"]:
+        step1[3 + i] = 1.0
+    if model_type == "mano":
+        # MANO has no body: fingers are the primary dof in both steps
+        step1[3 + info.body_pose_dof: 3 + P] = 1.0
+
+    step2 = step1.copy()
+    if opts.optimize_fingers and info.has_hands:
+        step2[3 + info.body_pose_dof: 3 + P] = 1.0
+    if opts.optimize_face:
+        for i in parts["face"]:
+            step2[3 + i] = 1.0
+        step2[3 + P:] = 1.0
+    if opts.optimize_dynamics:
+        step2[3 + P:] = 1.0
+    return jnp.asarray(step1), jnp.asarray(step2)
+
+
+def rigid_init(prob: StageIIProblem, opts: StageIIOptions,
+               markers_obs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame rigid initialization (perform_rigid_adjustment,
+    rigid_transformations.py:72-83), corrected for rotation about the root
+    joint rather than the origin. Returns packed x0 (F, D)."""
+    model = prob.sub_model
+    F = markers_obs.shape[0]
+    P = model.pose_dof
+    E = _num_extra(model, opts)
+
+    x_rest = jnp.zeros(3 + P + E, jnp.float32)
+    sim_rest = simulate_markers(prob, opts, x_rest)          # (M, 3)
+    nb = opts.num_betas
+    j0 = prob.sub_model.joint_template[0] + jnp.einsum(
+        "cb,b->c", prob.sub_model.joint_shapedirs[0, :, :nb], prob.betas[:nb])
+
+    def one(obs, m):
+        rot, t = kabsch(sim_rest, obs, m)
+        rv = rodrigues_inverse(rot)
+        # model applies root rotation about joint0: R(v - j0) + j0 + trans
+        trans = t + rot @ j0 - j0
+        x = jnp.zeros(3 + P + E, jnp.float32)
+        return x.at[:3].set(trans).at[3:6].set(rv)
+
+    return jax.vmap(one)(markers_obs, mask)
+
+
+def mosh_stageii_solve(prob: StageIIProblem,
+                       opts: StageIIOptions,
+                       markers_obs: np.ndarray,
+                       mask: np.ndarray,
+                       prior: Optional[MaxMixturePrior] = None,
+                       model_type: Optional[str] = None) -> StageIIResult:
+    """Solve all frames. markers_obs (F, M, 3) in meters, mask (F, M) bool.
+
+    Fully jittable; wrap in jit (and shard the frame axis) at the call site —
+    `parallel/sharding.py` provides the meshed entry point.
+    """
+    model = prob.sub_model
+    model_type = model_type or model.model_type
+    markers_obs = jnp.asarray(markers_obs, jnp.float32)
+    maskf = jnp.asarray(mask, jnp.float32)
+    F, M = maskf.shape
+    P = model.pose_dof
+    E = _num_extra(model, opts)
+    D = 3 + P + E
+
+    residual = make_stageii_residual(prob, opts, prior, model_type)
+    step1_mask, step2_mask = _param_masks(model, opts, model_type)
+    wt = opts.wt
+
+    n_obs = jnp.sum(maskf, axis=1)                            # (F,)
+    wt_data = wt("data") * NUM_TRAIN_MARKERS / jnp.maximum(n_obs, 1.0)
+    missing_frac = (M - n_obs) / M
+    anneal = 1.0 + missing_frac * wt("annealing")             # chmosh.py:596-609
+
+    def aux_for(wt_pose_scale, velo_anchor=None, velo_on=None,
+                extra_anchor=None, extra_on=None):
+        z = jnp.zeros((F,), jnp.float32)
+        return {
+            "markers": markers_obs,
+            "mask": maskf,
+            "wt_data": wt_data,
+            "anneal": anneal,
+            "wt_pose_scale": jnp.full((F,), wt_pose_scale, jnp.float32),
+            "velo_anchor": jnp.zeros((F, P), jnp.float32) if velo_anchor is None else velo_anchor,
+            "velo_on": z if velo_on is None else velo_on,
+            "extra_anchor": jnp.zeros((F, E), jnp.float32) if extra_anchor is None else extra_anchor,
+            "extra_on": z if extra_on is None else extra_on,
+        }
+
+    # ---- pass A: independent per-frame solves ------------------------------
+    x = rigid_init(prob, opts, markers_obs, maskf)
+
+    # first-frame prior annealing schedule [10w, 5w, w] (chmosh.py:637)
+    for scale in (10.0, 5.0, 1.0):
+        res = batched_dogleg_solve(
+            residual, x, aux_for(scale),
+            DoglegOptions(maxiter=opts.maxiter, e_3=1e-3, delta_0=0.5),
+            param_mask=step1_mask)
+        x = res.x
+    # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)
+    res = batched_dogleg_solve(
+        residual, x, aux_for(1.0),
+        DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
+        param_mask=step1_mask)
+    x = res.x
+    # step 2: full pose (chmosh.py:703-705)
+    res = batched_dogleg_solve(
+        residual, x, aux_for(1.0),
+        DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
+        param_mask=step2_mask)
+    x = res.x
+
+    # ---- pass B: Jacobi smoothing sweeps (velocity + dmpl extrapolation) ---
+    for _ in range(opts.smoothing_sweeps):
+        pose = x[:, 3:3 + P]
+        extra = x[:, 3 + P:]
+        velo_anchor = jnp.zeros_like(pose).at[2:].set(2.0 * pose[1:-1] - pose[:-2])
+        velo_on = jnp.zeros((F,), jnp.float32).at[2:].set(1.0)
+        extra_anchor = jnp.zeros_like(extra)
+        extra_on = jnp.zeros((F,), jnp.float32)
+        if E and opts.optimize_dynamics:
+            extra_anchor = extra_anchor.at[2:].set(2.0 * extra[1:-1] - extra[:-2])
+            extra_on = extra_on.at[2:].set(1.0)
+        res = batched_dogleg_solve(
+            residual, x,
+            aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on,
+                    extra_anchor=extra_anchor, extra_on=extra_on),
+            DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
+            param_mask=step2_mask)
+        x = res.x
+
+    # ---- outputs ------------------------------------------------------------
+    trans = x[:, :3]
+    pose = x[:, 3:3 + P]
+    extra = x[:, 3 + P:]
+    sim = jax.vmap(lambda xi: simulate_markers(prob, opts, xi))(x)
+    fullpose = jax.vmap(lambda p: fullpose_from_pose(model, p))(pose)
+    err = jnp.sqrt(jnp.sum((sim - markers_obs) ** 2, -1)) * maskf
+    data_err = jnp.sum(err, -1) / jnp.maximum(n_obs, 1.0)
+    return StageIIResult(trans=trans, pose=pose, fullpose=fullpose, extra=extra,
+                         markers_sim=sim, data_err=data_err,
+                         iterations=res.iterations)

@@ -23,6 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the solver jits are large and identical across
+# test runs; caching them cuts suite time dramatically
+jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -1,0 +1,126 @@
+"""End-to-end solver-convergence tests on synthetic mocap: generate markers
+from known model parameters via the forward model, then recover them
+(SURVEY.md §4 test strategy). The north-star acceptance bar is the
+~millimeter marker residual."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models import make_synthetic_model, lbs_forward
+from moshpp_tpu.ops.marker_transform import (marker_coeffs, reconstruct_markers,
+                                             select_frame_indices)
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, mosh_stageii_solve,
+                                         prepare_stageii_problem)
+from moshpp_tpu.pipeline.stagei import StageIOptions, mosh_stagei_solve
+from moshpp_tpu.priors import make_gmm_prior
+
+
+def _make_truth(model, num_markers, num_frames, rng, pose_scale=0.15,
+                betas_scale=0.5):
+    """Ground-truth subject + motion + simulated markers."""
+    V = model.v_template.shape[0]
+    vids = rng.choice(V, num_markers, replace=False)
+    betas_true = (rng.normal(size=model.num_betas) * betas_scale).astype(np.float32)
+
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :model.num_betas], betas_true)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    latents_true = can_v[vids] + vn[vids] * 0.0095
+
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents_true))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents_true), idx)
+
+    # smooth random-walk poses + drifting translation
+    P = model.pose_dof
+    poses = np.zeros((num_frames, P), np.float32)
+    steps = rng.normal(size=(num_frames, P)).astype(np.float32) * pose_scale * 0.3
+    poses[0] = rng.normal(size=P).astype(np.float32) * pose_scale
+    for t in range(1, num_frames):
+        poses[t] = 0.95 * poses[t - 1] + steps[t]
+    trans = np.cumsum(rng.normal(size=(num_frames, 3)).astype(np.float32) * 0.01,
+                      axis=0) + np.array([0.2, -0.1, 0.5], np.float32)
+
+    def sim(p, t):
+        verts = lbs_forward(model, p, jnp.asarray(betas_true), t)
+        return reconstruct_markers(verts, idx, coeffs)
+
+    obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans)))
+    return dict(vids=vids, betas=betas_true, latents=latents_true,
+                poses=poses, trans=trans, obs=obs)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_synthetic_model("smplh", num_verts=600, seed=11, dof_per_hand=6)
+
+
+@pytest.fixture(scope="module")
+def prior():
+    return make_gmm_prior(dim=63, num_components=4, seed=1, scale=0.3)
+
+
+class TestStageII:
+    def test_recovers_markers_below_1mm(self, model, prior, rng):
+        truth = _make_truth(model, num_markers=16, num_frames=12, rng=rng)
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=1)
+        mask = np.ones((12, 16), bool)
+        res = mosh_stageii_solve(prob, opts, truth["obs"], mask, prior=prior)
+        err_mm = np.asarray(res.data_err) * 1000.0
+        assert err_mm.mean() < 1.0, f"mean marker err {err_mm.mean():.3f} mm"
+        # parameters can trade off (root-rotation/translation gauge) while
+        # markers match exactly; translation must still be in the ballpark
+        assert np.abs(np.asarray(res.trans) - truth["trans"]).max() < 0.3
+
+    def test_missing_markers_handled(self, model, prior, rng):
+        truth = _make_truth(model, num_markers=16, num_frames=8, rng=rng)
+        mask = np.ones((8, 16), bool)
+        mask[2, :6] = False       # drop six markers in one frame
+        mask[5, 10:] = False
+        obs = truth["obs"].copy()
+        obs[~mask] = 0.0
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        res = mosh_stageii_solve(prob, StageIIOptions(maxiter=40, smoothing_sweeps=1),
+                                 obs, mask, prior=prior)
+        err_mm = np.asarray(res.data_err) * 1000.0
+        assert err_mm.mean() < 2.0
+
+    def test_result_shapes(self, model, prior, rng):
+        truth = _make_truth(model, num_markers=10, num_frames=5, rng=rng)
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        res = mosh_stageii_solve(prob, StageIIOptions(maxiter=10, smoothing_sweeps=0),
+                                 truth["obs"], np.ones((5, 10), bool), prior=prior)
+        assert res.trans.shape == (5, 3)
+        assert res.pose.shape == (5, model.pose_dof)
+        assert res.fullpose.shape == (5, model.fullpose_dof)
+        assert res.markers_sim.shape == (5, 10, 3)
+
+
+class TestStageI:
+    def test_recovers_shape_and_markers(self, model, prior, rng):
+        M, F = 16, 6
+        truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
+                            pose_scale=0.1, betas_scale=0.4)
+        labels = [f"L{i}" for i in range(M)]
+        opts = StageIOptions(maxiter=80, num_betas=model.num_betas)
+        res = mosh_stagei_solve(
+            model,
+            frames_obs=truth["obs"],
+            frames_mask=np.ones((F, M), bool),
+            latent_labels=labels,
+            layout_vids=truth["vids"],       # layout points at the true vids
+            m2b=np.full(M, 0.0095, np.float32),
+            type_masks={"body": np.ones(M, bool)},
+            opts=opts,
+            prior=prior,
+        )
+        err_mm = res.errs["data_mean_m"] * 1000.0
+        assert err_mm < 1.0, f"stage-i data residual {err_mm:.2f} mm"
+        # exact latent/shape parameters are gauge-free (markers pin the
+        # surface, not the parametrization); they must stay in the ballpark
+        lat_err = np.linalg.norm(res.markers_latent - truth["latents"], axis=1)
+        assert np.median(lat_err) < 0.10
+        assert set(res.markers_latent_vids.keys()) == set(labels)
