@@ -69,8 +69,10 @@ def main():
     opts = StageIIOptions(maxiter=100, smoothing_sweeps=2)
     prob = prepare_stageii_problem(model, betas, latents, opts=opts)
 
-    solve = jax.jit(lambda pr, o, m: mosh_stageii_solve(
-        pr, opts, o, m, prior=prior, model_type="smplh"))
+    def solve(pr, o, m):
+        # one compiled dogleg step shared by all 7 phases (jit_step inside)
+        return mosh_stageii_solve(pr, opts, o, m, prior=prior,
+                                  model_type="smplh")
 
     # warmup / compile
     res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))

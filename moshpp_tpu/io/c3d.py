@@ -227,6 +227,23 @@ def read_c3d(fname: str) -> C3DFile:
     off = (data_block - 1) * BLOCK
     is_float = scale < 0
     ppf = num_points * 4 + analog_per_frame_total  # words (or floats) per frame
+
+    # native fast path (C++/OpenMP bulk decode) when no analog channels
+    if analog_per_frame_total == 0 and num_points > 0:
+        from moshpp_tpu.native import decode_points
+        wsize = 4 if is_float else 2
+        avail_frames = (len(data) - off) // max(ppf * wsize, 1)
+        nf = min(num_frames, avail_frames)
+        native = decode_points(data[off:], nf, num_points, ppf, is_float,
+                               abs(scale), proc)
+        if native is not None:
+            points, residuals = native
+            if not labels:
+                labels = [f"*{i}" for i in range(num_points)]
+            return C3DFile(points=points, residuals=residuals, labels=labels,
+                           frame_rate=rate, first_frame=first_frame,
+                           analog=None, groups=groups)
+
     if is_float:
         nbytes = num_frames * ppf * 4
         raw = np.frombuffer(data, np.uint8, min(nbytes, len(data) - off), off)
@@ -368,10 +385,14 @@ def write_c3d(fname: str, points: np.ndarray, labels: List[str],
     header[9] = 0                        # analog samples per frame
     header[10:12] = np.frombuffer(np.float32(frame_rate).tobytes(), "<u2")
 
-    pdata = np.zeros((nf, npts, 4), np.float32)
-    pdata[..., :3] = np.nan_to_num(points)
-    pdata[..., 3] = residuals
-    pdata[nan_mask, :3] = 0.0
+    from moshpp_tpu.native import encode_points
+    encoded = encode_points(points, residuals)
+    if encoded is None:  # numpy fallback
+        pdata = np.zeros((nf, npts, 4), np.float32)
+        pdata[..., :3] = np.nan_to_num(points)
+        pdata[..., 3] = residuals
+        pdata[nan_mask, :3] = 0.0
+        encoded = pdata.tobytes()
 
     with open(fname, "wb") as f:
         f.write(header.tobytes())
@@ -382,4 +403,4 @@ def write_c3d(fname: str, points: np.ndarray, labels: List[str],
         pbuf[3] = _PROC_INTEL  # processor type byte
         pbuf[4: 4 + len(params)] = params
         f.write(bytes(pbuf))
-        f.write(pdata.tobytes())
+        f.write(encoded)

@@ -51,6 +51,8 @@ class ModelTypeInfo:
 
 
 MODEL_TYPE_INFO = {
+    # rigid 6-DoF object = 1-joint body (root rotation + translation)
+    "object": ModelTypeInfo(num_joints=1, body_pose_dof=3),
     "smpl": ModelTypeInfo(num_joints=24, body_pose_dof=72, toes_pose_ids=(30, 36)),
     "smplh": ModelTypeInfo(num_joints=52, body_pose_dof=66, has_hands=True,
                            num_hands=2, toes_pose_ids=(30, 36)),
@@ -211,7 +213,11 @@ def forward_kinematics(joints: jnp.ndarray, rotmats: jnp.ndarray,
       (J, 3) posed joint locations.
     """
     J = len(parents)
-    rel_trans = joints.at[1:].add(-joints[jnp.array(parents[1:])])
+    if J > 1:
+        par = jnp.asarray(parents[1:], dtype=jnp.int32)
+        rel_trans = joints.at[1:].add(-joints[par])
+    else:  # single-joint model (rigid object)
+        rel_trans = joints
 
     def make_g(rot, t):
         g = jnp.zeros((4, 4), rot.dtype)

@@ -1,0 +1,85 @@
+"""ctypes bindings to the native (C++) runtime components.
+
+`libmoshpp_c3d.so` (built by `native/Makefile`) provides the bulk C3D
+point-record decode/encode with OpenMP frame parallelism. All consumers must
+degrade gracefully to the pure-numpy paths when the library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "libmoshpp_c3d.so")
+_lib = None
+_load_attempted = False
+
+
+def _load():
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.moshpp_c3d_decode_points.restype = ctypes.c_int
+        lib.moshpp_c3d_decode_points.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+        lib.moshpp_c3d_encode_points.restype = ctypes.c_int
+        lib.moshpp_c3d_encode_points.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_points(data: bytes, n_frames: int, n_points: int, frame_words: int,
+                  is_float: bool, scale: float, proc: int):
+    """Returns (points (F, P, 3) f32 with NaN for missing, residuals (F, P))
+    or None when the native library is unavailable/fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.empty((n_frames, n_points, 3), np.float32)
+    res = np.empty((n_frames, n_points), np.float32)
+    rc = lib.moshpp_c3d_decode_points(
+        data, len(data), n_frames, n_points, frame_words,
+        1 if is_float else 0, float(scale), proc,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        res.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        return None
+    return pts, res
+
+
+def encode_points(points: np.ndarray, residuals: Optional[np.ndarray] = None):
+    """Returns Intel-float XYZW record bytes or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    F, P = pts.shape[0], pts.shape[1]
+    out = ctypes.create_string_buffer(F * P * 16)
+    res_ptr = None
+    if residuals is not None:
+        residuals = np.ascontiguousarray(residuals, np.float32)
+        res_ptr = residuals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.moshpp_c3d_encode_points(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), res_ptr, F, P, out)
+    if rc != 0:
+        return None
+    return out.raw

@@ -77,7 +77,7 @@ def mosh_stageii_solve_sharded(prob: StageIIProblem,
     @partial(jax.jit, out_shardings=None)
     def run(p, o, m):
         return mosh_stageii_solve(p, opts, o, m, prior=prior_d,
-                                  model_type=model_type)
+                                  model_type=model_type, jit_step=False)
 
     res = run(prob_d, obs_d, mask_d)
     return StageIIResult(*(np.asarray(v)[:F] for v in res))

@@ -139,6 +139,11 @@ class MoSh:
 
     def _load_model(self):
         cfg = self.cfg
+        if cfg["surface_model.type"] == "object":
+            from moshpp_tpu.models.object_model import (load_rigid_object,
+                                                        object_as_surface_model)
+            return object_as_surface_model(
+                load_rigid_object(cfg["surface_model.fname"]))
         hand_prior = cfg.get("moshpp.pose_hand_prior_fname")
         if hand_prior and not os.path.exists(hand_prior):
             hand_prior = None

@@ -308,11 +308,16 @@ def mosh_stageii_solve(prob: StageIIProblem,
                        markers_obs: np.ndarray,
                        mask: np.ndarray,
                        prior: Optional[MaxMixturePrior] = None,
-                       model_type: Optional[str] = None) -> StageIIResult:
+                       model_type: Optional[str] = None,
+                       jit_step: bool = True) -> StageIIResult:
     """Solve all frames. markers_obs (F, M, 3) in meters, mask (F, M) bool.
 
-    Fully jittable; wrap in jit (and shard the frame axis) at the call site —
-    `parallel/sharding.py` provides the meshed entry point.
+    All seven solve phases (3 annealed + step-1 + step-2 + smoothing sweeps)
+    share ONE compiled batched-dogleg step — phase differences (prior scale,
+    velocity anchors, parameter mask, stopping tolerance) are traced
+    arguments, so the solver compiles once regardless of schedule length.
+    Set `jit_step=False` when tracing this whole function inside an outer
+    jit/pjit (the step is then inlined by the outer trace).
     """
     model = prob.sub_model
     model_type = model_type or model.model_type
@@ -347,28 +352,27 @@ def mosh_stageii_solve(prob: StageIIProblem,
             "extra_on": z if extra_on is None else extra_on,
         }
 
+    # one compiled solver step reused by every phase: x, aux, mask, e_3 are
+    # all traced arguments
+    dl_opts = DoglegOptions(maxiter=opts.maxiter, delta_0=0.5)
+
+    def step(x, aux, pmask, e3):
+        return batched_dogleg_solve(residual, x, aux, dl_opts,
+                                    param_mask=pmask, e_3=e3).x
+
+    if jit_step:
+        step = jax.jit(step)
+
     # ---- pass A: independent per-frame solves ------------------------------
     x = rigid_init(prob, opts, markers_obs, maskf)
 
     # first-frame prior annealing schedule [10w, 5w, w] (chmosh.py:637)
     for scale in (10.0, 5.0, 1.0):
-        res = batched_dogleg_solve(
-            residual, x, aux_for(scale),
-            DoglegOptions(maxiter=opts.maxiter, e_3=1e-3, delta_0=0.5),
-            param_mask=step1_mask)
-        x = res.x
+        x = step(x, aux_for(scale), step1_mask, jnp.float32(1e-3))
     # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)
-    res = batched_dogleg_solve(
-        residual, x, aux_for(1.0),
-        DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
-        param_mask=step1_mask)
-    x = res.x
+    x = step(x, aux_for(1.0), step1_mask, jnp.float32(1e-2))
     # step 2: full pose (chmosh.py:703-705)
-    res = batched_dogleg_solve(
-        residual, x, aux_for(1.0),
-        DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
-        param_mask=step2_mask)
-    x = res.x
+    x = step(x, aux_for(1.0), step2_mask, jnp.float32(1e-2))
 
     # ---- pass B: Jacobi smoothing sweeps (velocity + dmpl extrapolation) ---
     for _ in range(opts.smoothing_sweeps):
@@ -381,13 +385,9 @@ def mosh_stageii_solve(prob: StageIIProblem,
         if E and opts.optimize_dynamics:
             extra_anchor = extra_anchor.at[2:].set(2.0 * extra[1:-1] - extra[:-2])
             extra_on = extra_on.at[2:].set(1.0)
-        res = batched_dogleg_solve(
-            residual, x,
-            aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on,
-                    extra_anchor=extra_anchor, extra_on=extra_on),
-            DoglegOptions(maxiter=opts.maxiter, e_3=1e-2, delta_0=0.5),
-            param_mask=step2_mask)
-        x = res.x
+        x = step(x, aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on,
+                            extra_anchor=extra_anchor, extra_on=extra_on),
+                 step2_mask, jnp.float32(1e-2))
 
     # ---- outputs ------------------------------------------------------------
     trans = x[:, :3]
@@ -399,4 +399,4 @@ def mosh_stageii_solve(prob: StageIIProblem,
     data_err = jnp.sum(err, -1) / jnp.maximum(n_obs, 1.0)
     return StageIIResult(trans=trans, pose=pose, fullpose=fullpose, extra=extra,
                          markers_sim=sim, data_err=data_err,
-                         iterations=res.iterations)
+                         iterations=jnp.zeros((F,), jnp.int32))

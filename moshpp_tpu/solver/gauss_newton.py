@@ -108,16 +108,20 @@ def _dogleg_step(g, B, delta, damping):
 def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  x0: jnp.ndarray,
                  options: DoglegOptions = DoglegOptions(),
-                 param_mask: Optional[jnp.ndarray] = None) -> SolveResult:
+                 param_mask: Optional[jnp.ndarray] = None,
+                 e_3=None) -> SolveResult:
     """Minimize |residual_fn(x)|^2 from x0 with dogleg trust-region GN.
 
     Args:
       residual_fn: x (P,) -> r (R,), shape-static, jit-traceable.
       param_mask: optional (P,) {0,1} — zero entries are frozen at x0.
+      e_3: optional traced scalar overriding options.e_3 — lets one compiled
+        solve be reused across phases with different stopping tolerances.
 
     Fully traceable: wrap in jit and/or vmap at the call site.
     """
     opts = options
+    e_3 = opts.e_3 if e_3 is None else e_3
     P = x0.shape[0]
     mask = jnp.ones(P, x0.dtype) if param_mask is None else param_mask.astype(x0.dtype)
 
@@ -158,7 +162,7 @@ def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         r = jnp.where(accept, r_new, s.r)
         f = jnp.where(accept, f_new, s.f)
 
-        small_improvement = accept & (actual < opts.e_3 * jnp.maximum(s.f, 1e-30))
+        small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
         tiny_cost = f <= opts.f_atol
         tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
         stalled = (~accept) & (delta <= opts.min_delta * 1.001)
@@ -176,13 +180,17 @@ def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
             x=x, r=r, f=f, delta=delta, it=it, done=s.done | done,
             converged=s.converged | (~frozen & (small_improvement | tiny_cost | tiny_grad)))
 
-    r0 = residual_fn(x0)
-    s0 = _State(x=x0, r=r0, f=r0 @ r0,
-                delta=jnp.asarray(opts.delta_0, x0.dtype),
-                it=jnp.asarray(0, jnp.int32),
-                done=jnp.asarray(False),
-                converged=jnp.asarray(False))
-    s = jax.lax.while_loop(cond, body, s0)
+    # Gauss-Newton needs full f32 mantissas: TPU matmuls default to bf16
+    # inputs, which stalls convergence at ~mm error. The context applies to
+    # every op traced inside (residuals, jacfwd tangents, normal equations).
+    with jax.default_matmul_precision("highest"):
+        r0 = residual_fn(x0)
+        s0 = _State(x=x0, r=r0, f=r0 @ r0,
+                    delta=jnp.asarray(opts.delta_0, x0.dtype),
+                    it=jnp.asarray(0, jnp.int32),
+                    done=jnp.asarray(False),
+                    converged=jnp.asarray(False))
+        s = jax.lax.while_loop(cond, body, s0)
     return SolveResult(x=s.x, cost=s.f, iterations=s.it, converged=s.converged)
 
 
@@ -190,7 +198,8 @@ def batched_dogleg_solve(residual_fn: Callable[..., jnp.ndarray],
                          x0: jnp.ndarray,
                          aux,
                          options: DoglegOptions = DoglegOptions(),
-                         param_mask: Optional[jnp.ndarray] = None) -> SolveResult:
+                         param_mask: Optional[jnp.ndarray] = None,
+                         e_3=None) -> SolveResult:
     """vmap of `dogleg_solve` over a leading batch axis.
 
     Args:
@@ -205,7 +214,7 @@ def batched_dogleg_solve(residual_fn: Callable[..., jnp.ndarray],
     """
     def solve_one(x0_i, aux_i, mask_i):
         return dogleg_solve(lambda x: residual_fn(x, aux_i), x0_i,
-                            options=options, param_mask=mask_i)
+                            options=options, param_mask=mask_i, e_3=e_3)
 
     if param_mask is None:
         mask = jnp.ones_like(x0)

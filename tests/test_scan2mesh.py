@@ -1,0 +1,132 @@
+"""Scan<->mesh objectives, samplers, object model, layout tools."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models.synthetic import icosphere
+from moshpp_tpu.ops.scan2mesh import (clamped_signed_pts_to_mesh, mesh_to_scan,
+                                      pts_to_mesh, sample_from_mesh,
+                                      scan_to_mesh)
+from moshpp_tpu.ops.robustifiers import gmof
+
+
+class TestSamplers:
+    def test_vertices(self, rng):
+        v, f = icosphere(1)
+        s = sample_from_mesh(v, f, "vertices")
+        out = np.asarray(s.sample(jnp.asarray(v)))
+        np.testing.assert_allclose(out, v, atol=1e-6)
+
+    def test_uniform_from_vertices_subset(self, rng):
+        v, f = icosphere(2)
+        s = sample_from_mesh(v, f, "uniformly-from-vertices", num_samples=20)
+        assert s.num_samples == 20
+        out = np.asarray(s.sample(jnp.asarray(v)))
+        # every sample is an actual vertex
+        d = np.linalg.norm(out[:, None] - v[None], axis=-1).min(1)
+        assert d.max() < 1e-6
+
+    def test_edge_midpoints_on_unit_sphereish(self):
+        v, f = icosphere(2)
+        s = sample_from_mesh(v, f, "edge-midpoints")
+        out = np.asarray(s.sample(jnp.asarray(v)))
+        r = np.linalg.norm(out, axis=1)
+        assert np.all((r > 0.9) & (r <= 1.0))
+
+    def test_uniform_at_random_inside(self):
+        v, f = icosphere(2)
+        s = sample_from_mesh(v, f, "uniformly-at-random", num_samples=500)
+        out = np.asarray(s.sample(jnp.asarray(v)))
+        r = np.linalg.norm(out, axis=1)
+        assert np.all((r > 0.85) & (r <= 1.0 + 1e-6))
+        assert abs(s.bary.sum(1) - 1).max() < 1e-9
+
+
+class TestScanToMesh:
+    def test_zero_for_points_on_mesh(self):
+        v, f = icosphere(3)
+        r = np.asarray(pts_to_mesh(jnp.asarray(v[:30]), jnp.asarray(v), jnp.asarray(f)))
+        assert np.abs(r).max() < 1e-3
+
+    def test_signed_and_normalization(self, rng):
+        v, f = icosphere(3)
+        pts = v[:16] * 1.1  # outside
+        r_signed = np.asarray(pts_to_mesh(jnp.asarray(pts), jnp.asarray(v),
+                                          jnp.asarray(f), signed=True, normalize=False))
+        assert np.all(r_signed > 0)
+        r_inside = np.asarray(pts_to_mesh(jnp.asarray(v[:16] * 0.9), jnp.asarray(v),
+                                          jnp.asarray(f), signed=True, normalize=False))
+        assert np.all(r_inside < 0)
+        r_norm = np.asarray(pts_to_mesh(jnp.asarray(pts), jnp.asarray(v),
+                                        jnp.asarray(f), signed=True, normalize=True))
+        np.testing.assert_allclose(r_norm, r_signed / np.sqrt(16), rtol=1e-5)
+
+    def test_gm_robustifier_bounds(self, rng):
+        v, f = icosphere(2)
+        pts = rng.normal(size=(10, 3))
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * 4.0  # far away
+        r = np.asarray(scan_to_mesh(jnp.asarray(pts), jnp.asarray(v), jnp.asarray(f),
+                                    normalize=False))
+        # plain distances are large; with GM rho they saturate near sigma
+        def rho(x):
+            s2 = 0.2 ** 2
+            return s2 * x / (s2 + jnp.abs(x))
+        r_gm = np.asarray(scan_to_mesh(jnp.asarray(pts), jnp.asarray(v), jnp.asarray(f),
+                                       rho=rho, normalize=False))
+        assert np.abs(r_gm).max() <= 0.2 + 1e-4
+        assert np.abs(r).min() > 1.0
+
+    def test_mesh_to_scan_with_sampler(self, rng):
+        v, f = icosphere(2)
+        scan_v, scan_f = icosphere(3)
+        sampler = sample_from_mesh(v, f, "uniformly-from-vertices", num_samples=40)
+        r = np.asarray(mesh_to_scan(jnp.asarray(v), jnp.asarray(scan_v),
+                                    jnp.asarray(scan_f), sampler=sampler))
+        assert r.shape == (40,)
+        assert np.abs(r).max() < 0.05  # both ~unit spheres
+
+    def test_clamped_gradient_vanishes_outside_band(self):
+        v, f = icosphere(2)
+        far = jnp.asarray([[3.0, 0.0, 0.0]])
+
+        def loss(p):
+            return jnp.sum(clamped_signed_pts_to_mesh(p, jnp.asarray(v),
+                                                      jnp.asarray(f), -0.1, 0.1))
+
+        g = np.asarray(jax.grad(loss)(far))
+        np.testing.assert_allclose(g, 0.0, atol=1e-8)
+
+
+class TestObjectModel:
+    def test_rigid_solve_via_stageii(self, rng):
+        from moshpp_tpu.models.object_model import (RigidObjectModel,
+                                                    object_as_surface_model)
+        from moshpp_tpu.pipeline.stageii import (StageIIOptions,
+                                                 mosh_stageii_solve,
+                                                 prepare_stageii_problem)
+        from moshpp_tpu.ops.rodrigues import rodrigues
+
+        v, f = icosphere(2)
+        obj = RigidObjectModel(v_template=jnp.asarray(v, jnp.float32),
+                               faces=jnp.asarray(f))
+        sm = object_as_surface_model(obj)
+        assert sm.pose_dof == 3
+
+        vids = rng.choice(len(v), 8, replace=False)
+        latents = v[vids] * 1.01
+        F = 5
+        poses = (rng.normal(size=(F, 3)) * 0.4).astype(np.float32)
+        trans = (rng.normal(size=(F, 3)) * 0.3).astype(np.float32)
+        rots = np.asarray(rodrigues(jnp.asarray(poses)))
+        obs = np.einsum("fab,mb->fma", rots, latents) + trans[:, None, :]
+
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=0)
+        prob = prepare_stageii_problem(sm, np.zeros(1, np.float32),
+                                       latents.astype(np.float32), opts=opts)
+        res = mosh_stageii_solve(prob, opts, obs.astype(np.float32),
+                                 np.ones((F, 8), bool), prior=None,
+                                 model_type="object")
+        err_mm = np.asarray(res.data_err) * 1000
+        assert err_mm.mean() < 1.0, f"object fit err {err_mm.mean():.2f} mm"
