@@ -20,7 +20,10 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MOSHPP_JAX_CACHE", "/tmp/moshpp_tpu_jax_cache"))
     import jax.numpy as jnp
 
     from moshpp_tpu.models import make_synthetic_model, lbs_forward
@@ -33,7 +36,7 @@ def main():
                                              prepare_stageii_problem)
     from moshpp_tpu.priors import make_gmm_prior
 
-    FRAMES = 2048
+    FRAMES = int(os.environ.get("BENCH_FRAMES", "2048"))
     MARKERS = 46
     rng = np.random.default_rng(0)
 
@@ -66,7 +69,9 @@ def main():
     obs = np.asarray(jax.jit(jax.vmap(sim))(jnp.asarray(poses), jnp.asarray(trans)))
     mask = np.ones((FRAMES, MARKERS), bool)
 
-    opts = StageIIOptions(maxiter=100, smoothing_sweeps=2)
+    # combined body+hands solve (BASELINE.json config 3); on the synthetic
+    # skeleton the hand-PCA dofs move real surface area, so they must be free
+    opts = StageIIOptions(maxiter=100, smoothing_sweeps=2, optimize_fingers=True)
     prob = prepare_stageii_problem(model, betas, latents, opts=opts)
 
     def solve(pr, o, m):

@@ -78,6 +78,15 @@ def _load_ply_verts(fname: str) -> np.ndarray:
     return read_ply(fname)[0]
 
 
+def load_dmpl_eigvecs(dmpl_fname: str) -> np.ndarray:
+    """DMPL soft-tissue eigvectors (V, 3, K) from pkl/npz
+    (chmosh.py:511 `pickle['eigvec']`)."""
+    if str(dmpl_fname).endswith(".npz"):
+        return np.asarray(np.load(dmpl_fname)["eigvec"])
+    with open(dmpl_fname, "rb") as f:
+        return np.asarray(pickle.load(f, encoding="latin-1")["eigvec"])
+
+
 def load_surface_model(surface_model_fname: Union[str, Path],
                        surface_model_type: Optional[str] = None,
                        pose_hand_prior_fname: Optional[str] = None,
@@ -85,6 +94,8 @@ def load_surface_model(surface_model_fname: Union[str, Path],
                        dof_per_hand: int = 12,
                        num_betas: int = 16,
                        v_template_fname: Optional[str] = None,
+                       dmpl_fname: Optional[str] = None,
+                       num_dmpls: int = 8,
                        dtype=np.float32) -> SurfaceModel:
     """Load a model file into a `SurfaceModel`.
 
@@ -95,6 +106,10 @@ def load_surface_model(surface_model_fname: Union[str, Path],
         own `hands_components`.
       use_hands_mean: add the MANO mean hand pose to the PCA reconstruction.
       dof_per_hand: PCA coefficients kept per hand.
+      dmpl_fname: optional DMPL eigvec file; its first `num_dmpls` components
+        are spliced into shapedirs columns [num_betas, num_betas+num_dmpls)
+        (the reference's stage-ii splice, chmosh.py:507-514) so soft-tissue
+        coefficients ride the betas tail.
     """
     surface_model_fname = str(surface_model_fname)
     dd = _read_model_dict(surface_model_fname)
@@ -127,11 +142,27 @@ def load_surface_model(surface_model_fname: Union[str, Path],
     assert len(parents) == info.num_joints, (
         f"{model_type}: expected {info.num_joints} joints, file has {len(parents)}")
 
+    if dmpl_fname is not None:
+        eig = load_dmpl_eigvecs(dmpl_fname).astype(dtype)[:, :, :num_dmpls]
+        width = num_betas + num_dmpls
+        if shapedirs.shape[-1] < width:
+            shapedirs = np.concatenate(
+                [shapedirs[..., :num_betas],
+                 np.zeros((*shapedirs.shape[:2], width - num_betas), dtype)],
+                axis=-1)
+        shapedirs = shapedirs.copy()
+        shapedirs[..., num_betas:width] = eig
+
     # joint regression folded into joint_template/joint_shapedirs so subsetted
     # models stay kinematically exact (body_model.py docstring)
     if "joint_template" in dd:  # synthetic fixture convention
         joint_template = _to_np(dd["joint_template"]).astype(dtype)
         joint_shapedirs = _to_np(dd["joint_shapedirs"]).astype(dtype)
+        if dmpl_fname is not None and joint_shapedirs.shape[-1] < shapedirs.shape[-1]:
+            pad = shapedirs.shape[-1] - joint_shapedirs.shape[-1]
+            joint_shapedirs = np.concatenate(
+                [joint_shapedirs,
+                 np.zeros((*joint_shapedirs.shape[:2], pad), dtype)], axis=-1)
     else:
         jreg = _to_np(dd["J_regressor"]).astype(dtype)
         joint_template = jreg @ v_template
@@ -169,6 +200,10 @@ def load_surface_model(surface_model_fname: Union[str, Path],
             else:
                 hands_mean = np.zeros(cl.shape[1] + cr.shape[1], dtype)
 
+    # sparse-skinning bound: SMPL-family weights have <= 4 nonzeros/vertex
+    nnz = int((weights > 1e-7).sum(axis=1).max())
+    skin_k = nnz if nnz <= 8 else 0
+
     return SurfaceModel(
         v_template=v_template,
         shapedirs=shapedirs,
@@ -183,4 +218,5 @@ def load_surface_model(surface_model_fname: Union[str, Path],
         parents=parents,
         num_betas=num_betas,
         dof_per_hand=dof_per_hand,
+        skin_k=skin_k,
     )

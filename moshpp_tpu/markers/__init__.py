@@ -15,3 +15,8 @@ from moshpp_tpu.markers.layout import (
     marker_meta_smplx2smplh,
 )
 from moshpp_tpu.markers.autogen import marker_labels_to_marker_layout
+from moshpp_tpu.markers.randomize import (
+    find_vertex_neighbours,
+    randomize_marker_layout_vids,
+    vertex_adjacency,
+)

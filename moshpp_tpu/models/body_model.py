@@ -95,6 +95,10 @@ class SurfaceModel:
     parents: Tuple[int, ...] = _static_field(default=())
     num_betas: int = _static_field(default=16)       # leading betas used as shape
     dof_per_hand: int = _static_field(default=12)
+    # max nonzero skinning weights per vertex (SMPL uses <= 4): when set,
+    # skinning contracts only each vertex's top-k joints — k/J of the dense
+    # cost in both the forward and its jacfwd tangents. 0 = dense.
+    skin_k: int = _static_field(default=0)
 
     # -- derived static properties ------------------------------------------
     @property
@@ -198,18 +202,43 @@ def fullpose_from_pose(model: SurfaceModel, pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([body, hands], axis=-1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_levels(parents: Tuple[int, ...]):
+    """Group joints by depth. Returns a tuple of (joint_ids, parent_ids)
+    numpy arrays per level (level 0 = root(s))."""
+    J = len(parents)
+    depth = [0] * J
+    for k in range(1, J):
+        depth[k] = depth[parents[k]] + 1
+    levels = []
+    for d in range(max(depth) + 1):
+        ids = np.array([k for k in range(J) if depth[k] == d], np.int32)
+        pids = np.array([max(parents[k], 0) for k in ids.tolist()], np.int32)
+        levels.append((ids, pids))
+    return tuple(levels)
+
+
 def forward_kinematics(joints: jnp.ndarray, rotmats: jnp.ndarray,
                        parents: Tuple[int, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rigid FK over the kinematic tree.
+    """Rigid FK over the kinematic tree, parallel across each tree level.
+
+    The naive parent walk is O(J) *sequential* ops — 52 tiny matmuls that
+    leave the TPU latency-bound; grouping joints by depth cuts that to
+    tree-depth (~11 for SMPL-H/X) batched composes. The reference's C++ FK is
+    sequential per frame (inside chumpy's verts_decorated); this is the
+    vmap/tangent-batched shape of the same recursion.
 
     Args:
       joints: (J, 3) rest-pose joint locations.
       rotmats: (J, 3, 3) per-joint local rotations.
-      parents: static parent index per joint (parents[0] is the root, ignored).
+      parents: static parent index per joint (parents[0] is the root, -1).
 
     Returns:
-      (A, joints_posed): A is (J, 4, 4) — the skinning transforms relative to
-      the rest pose (already right-translated by -G_k @ j_k), joints_posed is
+      (A, joints_posed): A is (J, 4, 4) — skinning transforms relative to the
+      rest pose (translation already reduced by G_k @ j_k), joints_posed is
       (J, 3) posed joint locations.
     """
     J = len(parents)
@@ -219,21 +248,60 @@ def forward_kinematics(joints: jnp.ndarray, rotmats: jnp.ndarray,
     else:  # single-joint model (rigid object)
         rel_trans = joints
 
-    def make_g(rot, t):
-        g = jnp.zeros((4, 4), rot.dtype)
-        g = g.at[:3, :3].set(rot).at[:3, 3].set(t).at[3, 3].set(1.0)
-        return g
+    # local homogeneous transforms, built in one shot
+    local = jnp.zeros((J, 4, 4), rotmats.dtype)
+    local = local.at[:, :3, :3].set(rotmats)
+    local = local.at[:, :3, 3].set(rel_trans)
+    local = local.at[:, 3, 3].set(1.0)
 
-    gs = [make_g(rotmats[0], rel_trans[0])]
-    for k in range(1, J):
-        gs.append(gs[parents[k]] @ make_g(rotmats[k], rel_trans[k]))
-    G = jnp.stack(gs)  # (J, 4, 4)
+    G = local
+    for ids, pids in _tree_levels(parents)[1:]:
+        composed = jnp.einsum("kab,kbc->kac", G[pids], local[ids])
+        G = G.at[ids].set(composed)
 
     joints_posed = G[:, :3, 3]
     # A_k = G_k with translation column reduced by G_k[:3,:3] @ j_k (rest joint)
     corr = jnp.einsum("jab,jb->ja", G[:, :3, :3], joints)
     A = G.at[:, :3, 3].add(-corr)
     return A, joints_posed
+
+
+@jax.custom_jvp
+def _pose_blend(posedirs: jnp.ndarray, fullpose: jnp.ndarray) -> jnp.ndarray:
+    """Pose-corrective offsets: posedirs . vec(R(fullpose)[1:] - I).
+
+    posedirs: (V, 3, 9*(J-1)); fullpose: (3J,). Returns (V, 3).
+
+    The custom JVP chains tangents through the analytic 9x3 per-joint
+    rotation derivative: jacfwd of the naive composition pushes a dense
+    9(J-1)-vector through the posedirs contraction per tangent direction
+    (the dominant Jacobian cost in the solver); here the tangent contraction
+    is 3(J-1)-wide, with the theta-dependent factor hoisted out of the
+    tangent batch. NOTE: posedirs is treated as a constant — its tangent is
+    ignored (model parameters are never optimization variables here).
+    """
+    rot = rodrigues(fullpose.reshape(-1, 3))
+    eye = jnp.eye(3, dtype=rot.dtype)
+    feat = (rot[1:] - eye).reshape(-1)
+    return jnp.einsum("vcp,p->vc", posedirs, feat)
+
+
+@_pose_blend.defjvp
+def _pose_blend_jvp(primals, tangents):
+    posedirs, fullpose = primals
+    _, dfull = tangents
+    theta = fullpose.reshape(-1, 3)
+    J = theta.shape[0]
+    out = _pose_blend(posedirs, fullpose)
+    if posedirs.shape[-1] == 0 or J <= 1:
+        return out, jnp.zeros_like(out)
+    # dR/dtheta per joint: (J, 3, 3, 3) — primal-only, hoisted across the
+    # jacfwd tangent batch
+    dR = jax.vmap(jax.jacfwd(rodrigues))(theta)
+    pd5 = posedirs.reshape(posedirs.shape[0], 3, J - 1, 3, 3)
+    G = jnp.einsum("vcjab,jabt->vcjt", pd5, dR[1:])
+    dout = jnp.einsum("vcjt,jt->vc", G, dfull.reshape(-1, 3)[1:])
+    return out, dout
 
 
 def lbs_forward(model: SurfaceModel,
@@ -255,21 +323,28 @@ def lbs_forward(model: SurfaceModel,
       trans: (3,) global translation applied after skinning.
     """
     nb = betas.shape[-1]
-    fullpose = fullpose_from_pose(model, pose).reshape(-1, 3)
-    rotmats = rodrigues(fullpose)  # (J, 3, 3)
+    fullpose = fullpose_from_pose(model, pose)
+    rotmats = rodrigues(fullpose.reshape(-1, 3))  # (J, 3, 3)
 
     v_shaped = model.v_template + jnp.einsum("vcb,b->vc", model.shapedirs[..., :nb], betas)
     joints = model.joint_template + jnp.einsum("jcb,b->jc", model.joint_shapedirs[..., :nb], betas)
 
-    # pose blendshapes: (R_j - I) for non-root joints, row-major flatten
-    eye = jnp.eye(3, dtype=rotmats.dtype)
-    pose_feature = (rotmats[1:] - eye).reshape(-1)  # (9*(J-1),)
-    v_posed = v_shaped + jnp.einsum("vcp,p->vc", model.posedirs, pose_feature)
+    # pose blendshapes with a cheap-tangent custom JVP
+    if model.posedirs.shape[-1]:
+        v_posed = v_shaped + _pose_blend(model.posedirs, fullpose)
+    else:
+        v_posed = v_shaped
 
     A, joints_posed = forward_kinematics(joints, rotmats, model.parents)
 
     # skinning: per-vertex blended transform applied to homogeneous v_posed
-    T = jnp.einsum("vj,jab->vab", model.weights, A)  # (V, 4, 4)
+    if 0 < model.skin_k < model.num_joints:
+        # sparse contraction over each vertex's top-k joints; the top-k of the
+        # constant weight matrix is folded at compile time
+        w_k, j_k = jax.lax.top_k(model.weights, model.skin_k)  # (V, k) each
+        T = jnp.einsum("vk,vkab->vab", w_k, A[j_k])
+    else:
+        T = jnp.einsum("vj,jab->vab", model.weights, A)        # (V, 4, 4)
     verts = jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3] + trans
     if want_joints:
         return verts, joints_posed + trans

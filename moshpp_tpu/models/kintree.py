@@ -28,10 +28,37 @@ SMPLX_PARENTS = (
 
 MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
 
-# SMAL-family animals: simple chain trees with leg branches; synthetic only —
-# real SMAL files carry their own kintree_table.
-ANIMAL_HORSE_PARENTS = tuple([-1] + [i // 1 for i in range(35)])  # placeholder chain
-ANIMAL_DOG_PARENTS = tuple([-1] + [i // 1 for i in range(34)])
+# SMAL-family quadrupeds (synthetic defaults — real SMAL files carry their
+# own kintree_table): pelvis -> spine chain, neck/head, four 4-joint legs,
+# tail chain, ears/jaw off the head. Depth ~8 like the real rigs.
+ANIMAL_HORSE_PARENTS = (
+    -1,                      # 0  pelvis
+    0, 1, 2, 3, 4,           # 1-5   spine
+    5, 6,                    # 6-7   neck
+    7,                       # 8     head
+    5, 9, 10, 11,            # 9-12  left-front leg (9's parent: chest=5)
+    5, 13, 14, 15,           # 13-16 right-front leg
+    0, 17, 18, 19,           # 17-20 left-back leg
+    0, 21, 22, 23,           # 21-24 right-back leg
+    0, 25, 26, 27,           # 25-28 tail
+    8, 8,                    # 29-30 ears
+    8, 31,                   # 31-32 jaw chain
+    8, 8, 32,                # 33-35 eyes + tongue
+)
+ANIMAL_DOG_PARENTS = (
+    -1,
+    0, 1, 2, 3,              # 1-4   spine
+    4, 5,                    # 5-6   neck
+    6,                       # 7     head
+    4, 8, 9, 10,             # 8-11  left-front leg
+    4, 12, 13, 14,           # 12-15 right-front leg
+    0, 16, 17, 18,           # 16-19 left-back leg
+    0, 20, 21, 22,           # 20-23 right-back leg
+    0, 24, 25, 26,           # 24-27 tail
+    7, 7,                    # 28-29 ears
+    7, 30,                   # 30-31 jaw
+    7, 7, 31,                # 32-34 eyes + tongue
+)
 
 DEFAULT_PARENTS = {
     "smpl": SMPL_PARENTS,

@@ -205,6 +205,7 @@ def make_synthetic_model(model_type: str = "smplh",
         parents=parents,
         num_betas=num_betas,
         dof_per_hand=dof_per_hand,
+        skin_k=2,  # weights are built with top-2 support above
     )
 
 

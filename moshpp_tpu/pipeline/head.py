@@ -147,6 +147,14 @@ class MoSh:
         hand_prior = cfg.get("moshpp.pose_hand_prior_fname")
         if hand_prior and not os.path.exists(hand_prior):
             hand_prior = None
+        dmpl_fname = None
+        if cfg["moshpp.optimize_dynamics"]:
+            assert cfg["surface_model.type"] in ("smpl", "smplh"), (
+                "DMPLs are only supported by smpl and smplh models")
+            dmpl_fname = cfg.get("surface_model.dmpl_fname")
+            if dmpl_fname and not os.path.exists(dmpl_fname):
+                self.logger.warning("dmpl_fname not found: %s", dmpl_fname)
+                dmpl_fname = None
         return load_surface_model(
             cfg["surface_model.fname"],
             surface_model_type=cfg["surface_model.type"],
@@ -155,6 +163,8 @@ class MoSh:
             dof_per_hand=cfg.get("surface_model.dof_per_hand", 12),
             num_betas=cfg["surface_model.num_betas"],
             v_template_fname=cfg.get("moshpp.v_template_fname"),
+            dmpl_fname=dmpl_fname,
+            num_dmpls=cfg.get("surface_model.num_dmpls", 8),
         )
 
     def _load_pose_prior(self, model_type: str):
@@ -163,6 +173,23 @@ class MoSh:
         if not fname or not os.path.exists(fname):
             self.logger.warning("pose body prior not found (%s); solving without", fname)
             return None
+        if model_type == "animal_horse":
+            from moshpp_tpu.priors.mahalanobis import (
+                horse_joint_angle_residual, load_horse_prior,
+                mahalanobis_residual)
+            import jax.numpy as jnp
+            horse = load_horse_prior(fname)
+
+            def horse_prior(pose_body):
+                # Mahalanobis prior + leg joint-angle penalty at 2x weight
+                # (chmosh.py:356-358, 615-617)
+                return jnp.concatenate([
+                    mahalanobis_residual(horse, pose_body),
+                    2.0 * horse_joint_angle_residual(pose_body)])
+
+            return horse_prior
+        # exclude hands from the body prior for the hand-PCA families
+        # (gmm_prior_ch.py:116)
         npose = 63 if model_type in ("smplh", "smplx") else None
         return load_gmm_prior(fname, npose=npose)
 
@@ -208,6 +235,18 @@ class MoSh:
         if cfg.get("moshpp.betas_fname"):
             betas_init = np.load(cfg["moshpp.betas_fname"])["betas"]
 
+        # optional head-marker correlation coupling (chmosh.py:252-266)
+        head_corr = None
+        hc_fname = cfg.get("moshpp.head_marker_corr_fname")
+        if hc_fname and os.path.exists(hc_fname):
+            head_meta = np.load(hc_fname)
+            head_labels = [str(l) for l in head_meta["mrk_labels"]]
+            if all(l in arrays["labels"] for l in head_labels):
+                head_ids = [arrays["labels"].index(l) for l in head_labels]
+                head_corr = (np.asarray(head_meta["corr"]), np.asarray(head_ids))
+                self.logger.info("using head marker correlation (%d markers)",
+                                 len(head_ids))
+
         obs, mask = frames_to_arrays(stagei_frames, arrays["labels"])
         opts = StageIOptions(
             optimize_fingers=cfg["moshpp.optimize_fingers"],
@@ -223,7 +262,8 @@ class MoSh:
         )
         result = mosh_stagei_solve(
             model, obs, mask, arrays["labels"], arrays["vids"], arrays["m2b"],
-            arrays["type_masks"], opts=opts, prior=prior, betas_init=betas_init)
+            arrays["type_masks"], opts=opts, prior=prior, betas_init=betas_init,
+            head_corr=head_corr)
 
         stagei_data = {
             "betas": result.betas,

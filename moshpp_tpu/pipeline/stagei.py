@@ -148,7 +148,8 @@ def mosh_stagei_solve(model: SurfaceModel,
                       opts: StageIOptions = StageIOptions(),
                       prior: Optional[MaxMixturePrior] = None,
                       betas_init: Optional[np.ndarray] = None,
-                      exclude_vertex_mask: Optional[np.ndarray] = None) -> StageIResult:
+                      exclude_vertex_mask: Optional[np.ndarray] = None,
+                      head_corr: Optional[tuple] = None) -> StageIResult:
     """Run the full annealed stage-i solve.
 
     Args:
@@ -157,6 +158,9 @@ def mosh_stagei_solve(model: SurfaceModel,
       layout_vids/m2b/type_masks: from `markers.layout.layout_arrays`.
       betas_init: precomputed betas (chmosh.py:93-98) — optimization of betas
         still follows opts.optimize_betas.
+      head_corr: optional (corr (H, H), head_marker_indices (H,)) — head
+        markers' init anchors are coupled through the correlation matrix
+        instead of anchored independently (chmosh.py:252-266, 362-369).
     """
     model_type = model.model_type
     info = MODEL_TYPE_INFO[model_type]
@@ -176,6 +180,9 @@ def mosh_stagei_solve(model: SurfaceModel,
         from moshpp_tpu.markers.vids import smplx_eyeball_mask
         exclude_vertex_mask = smplx_eyeball_mask(model.v_template.shape[0])
     exclude_vertex_mask = jnp.asarray(exclude_vertex_mask)
+
+    from moshpp_tpu.pipeline.stageii import _as_prior_fn
+    prior_fn = _as_prior_fn(prior, model_type)
 
     latents0 = _init_latents(model, layout_vids, m2b)
     m2b_j = jnp.asarray(m2b, jnp.float32)
@@ -225,6 +232,13 @@ def mosh_stagei_solve(model: SurfaceModel,
     init_wt_type = np.full(M, wt("init"), np.float32)
     for t, m in type_masks.items():
         init_wt_type[np.asarray(m, bool)] = wt(f"init_{t}", wt("init"))
+    head_corr_mat = None
+    head_ids = None
+    if head_corr is not None:
+        head_corr_mat = jnp.asarray(head_corr[0], jnp.float32)
+        head_ids = jnp.asarray(head_corr[1], jnp.int32)
+        # head markers leave the independent-anchor rows (chmosh.py:362-367)
+        init_wt_type[np.asarray(head_corr[1])] = 0.0
     init_wt_type = jnp.asarray(init_wt_type)
 
     annealing = tuple(wt("annealing"))
@@ -302,11 +316,17 @@ def mosh_stagei_solve(model: SurfaceModel,
             rdata = jax.vmap(one_frame)(ps, tr, ex_arg, frames_obs, maskf)
             terms.append(rdata.reshape(-1) * wt_data)
 
-            if prior is not None and prior_ids is not None:
-                rp = jax.vmap(lambda p: gmm_prior_residual(prior, p[prior_ids]))(ps)
+            if prior_fn is not None and prior_ids is not None:
+                rp = jax.vmap(lambda p: prior_fn(p[prior_ids]))(ps)
                 terms.append(rp.reshape(-1) * wt_poseB)
 
-            terms.append(((lat - init_anchor) * wt_init_step[:, None]).reshape(-1))
+            init_loss = lat - init_anchor
+            terms.append((init_loss * wt_init_step[:, None]).reshape(-1))
+            if head_corr_mat is not None:
+                # correlated head-marker anchor, body init weight
+                # (chmosh.py:368-369)
+                corr_rows = head_corr_mat @ init_loss[head_ids]
+                terms.append((corr_rows * (wt("init") * anneal)).reshape(-1))
 
             if opts.optimize_betas:
                 terms.append(b * wt_beta)

@@ -64,6 +64,13 @@ class StageIIOptions:
     expr_start: int = 300        # betas_expr_start_id for smplx
     maxiter: int = 100
     smoothing_sweeps: int = 2
+    e_3_polish: float = 1e-4   # final tight full-pose solve; the reference's
+                               # loose per-step e_3=.01 relies on sequential
+                               # warm starts the batched schedule doesn't have
+    linear_solver: str = "cholesky"  # 'newton_schulz' trades exactness for MXU
+    ns_steps: int = 4
+    jac_precision: str = "high"  # 3-pass f32 Jacobians for the bulk phases;
+                                 # the polish phase always runs 'highest'
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -193,16 +200,35 @@ def simulate_markers(prob: StageIIProblem, opts: StageIIOptions,
     return reconstruct_markers(verts, prob.indices, prob.coeffs)
 
 
+def _as_prior_fn(prior, model_type: str):
+    """Normalize a prior spec into pose_body -> residual rows.
+
+    Accepts a MaxMixturePrior (SMPL families / dog GMM), a callable (e.g. the
+    horse Mahalanobis), or None. The horse's extra joint-angle penalty
+    (chmosh.py:356-358, x2 weight) is appended for animal_horse callables
+    built by `pipeline.head`.
+    """
+    if prior is None:
+        return None
+    if isinstance(prior, MaxMixturePrior):
+        return lambda pose_body: gmm_prior_residual(prior, pose_body)
+    return prior
+
+
 def make_stageii_residual(prob: StageIIProblem,
                           opts: StageIIOptions,
-                          prior: Optional[MaxMixturePrior],
+                          prior,
                           model_type: str):
     """Build the per-frame residual fn r(x, aux) -> (R,).
+
+    `prior` is a MaxMixturePrior, a callable pose_body -> residual rows, or
+    None.
 
     aux leaves (per frame):
       markers (M, 3), mask (M,), wt_data (), anneal (),
       velo_anchor (D,), velo_on (), extra_anchor (E,), extra_on ()
     """
+    prior_fn = _as_prior_fn(prior, model_type)
     info = MODEL_TYPE_INFO[model_type]
     parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
     body_ids = jnp.asarray(
@@ -224,8 +250,8 @@ def make_stageii_residual(prob: StageIIProblem,
         rdata = (sim - aux["markers"]) * aux["mask"][:, None]
         terms.append(rdata.reshape(-1) * aux["wt_data"])
 
-        if prior is not None and body_ids is not None:
-            rp = gmm_prior_residual(prior, pose[body_ids])
+        if prior_fn is not None and body_ids is not None:
+            rp = prior_fn(pose[body_ids])
             terms.append(rp * (wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]))
 
         if opts.optimize_fingers and info.has_hands:
@@ -354,14 +380,23 @@ def mosh_stageii_solve(prob: StageIIProblem,
 
     # one compiled solver step reused by every phase: x, aux, mask, e_3 are
     # all traced arguments
-    dl_opts = DoglegOptions(maxiter=opts.maxiter, delta_0=0.5)
+    dl_opts = DoglegOptions(maxiter=opts.maxiter, delta_0=0.5,
+                            linear_solver=opts.linear_solver,
+                            ns_steps=opts.ns_steps,
+                            jac_precision=opts.jac_precision)
+    dl_opts_polish = dataclasses.replace(dl_opts, jac_precision="highest")
 
     def step(x, aux, pmask, e3):
         return batched_dogleg_solve(residual, x, aux, dl_opts,
                                     param_mask=pmask, e_3=e3).x
 
+    def step_polish(x, aux, pmask, e3):
+        return batched_dogleg_solve(residual, x, aux, dl_opts_polish,
+                                    param_mask=pmask, e_3=e3).x
+
     if jit_step:
         step = jax.jit(step)
+        step_polish = jax.jit(step_polish)
 
     # ---- pass A: independent per-frame solves ------------------------------
     x = rigid_init(prob, opts, markers_obs, maskf)
@@ -388,6 +423,10 @@ def mosh_stageii_solve(prob: StageIIProblem,
         x = step(x, aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on,
                             extra_anchor=extra_anchor, extra_on=extra_on),
                  step2_mask, jnp.float32(1e-2))
+
+    # polish: one tight full-pose solve from the warm state
+    if opts.e_3_polish is not None:
+        x = step_polish(x, aux_for(1.0), step2_mask, jnp.float32(opts.e_3_polish))
 
     # ---- outputs ------------------------------------------------------------
     trans = x[:, :3]

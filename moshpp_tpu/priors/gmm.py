@@ -41,12 +41,21 @@ class MaxMixturePrior:
 
 
 def gmm_prior_residual(prior: MaxMixturePrior, x: jnp.ndarray) -> jnp.ndarray:
-    """Residual vector (D+1,) for pose slice x (D,)."""
-    diff = x[None, :] - prior.means                       # (K, D)
-    r = jnp.sqrt(0.5) * jnp.einsum("kd,kde->ke", diff, prior.chols)
-    energies = jnp.sum(r * r, axis=-1) + prior.sqrt_neg_log_w ** 2
-    k = jax.lax.stop_gradient(jnp.argmin(energies))
-    return jnp.concatenate([r[k], prior.sqrt_neg_log_w[k][None]])
+    """Residual vector (D+1,) for pose slice x (D,).
+
+    The argmin component selection runs entirely under stop_gradient, and the
+    differentiable path whitens against the *selected* component only — so
+    forward-mode tangents cost one DxD matvec, not K of them (the solver
+    evaluates this inside jacfwd with O(100) tangent directions).
+    """
+    xs = jax.lax.stop_gradient(x)
+    diff_all = xs[None, :] - prior.means                  # (K, D), no tangents
+    r_all = jnp.einsum("kd,kde->ke", diff_all, prior.chols)
+    energies = 0.5 * jnp.sum(r_all * r_all, axis=-1) + prior.sqrt_neg_log_w ** 2
+    k = jnp.argmin(energies)
+
+    r = jnp.sqrt(0.5) * ((x - prior.means[k]) @ prior.chols[k])
+    return jnp.concatenate([r, prior.sqrt_neg_log_w[k][None]])
 
 
 def _from_moments(means: np.ndarray, covars: np.ndarray,

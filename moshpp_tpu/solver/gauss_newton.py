@@ -37,9 +37,23 @@ class DoglegOptions:
     delta_max: float = 100.0
     min_delta: float = 1e-10
     accept_ratio: float = 1e-4  # minimum rho to accept a step
-    damping: float = 1e-9      # Tikhonov floor on the normal equations
+    damping: float = 1e-8      # Tikhonov floor on the normal equations
     f_atol: float = 1e-20      # absolute cost floor — stop when |r|^2 below
     g_rtol: float = 1e-7       # gradient stop: |g| <= g_rtol * (1 + f)
+    # linear solver for the Gauss-Newton system:
+    #   'cholesky'       exact, but TPU factorizations are sequential-panel
+    #                    latency-bound for O(100)-dim batched systems
+    #   'newton_schulz'  Jacobi-preconditioned iterative inverse — pure
+    #                    batched matmuls (MXU), warm-started across dogleg
+    #                    iterations; inexact steps are safeguarded by the
+    #                    trust-region rho test
+    linear_solver: str = "cholesky"
+    ns_steps: int = 4          # Newton-Schulz refinement steps per iteration
+    # matmul precision for the Jacobian/normal-equation assembly. 'highest'
+    # = full f32 (6-pass); 'high' (3-pass) halves Jacobian cost with ~1e-5
+    # relative error — ample for GN *directions* (the trust region guards
+    # step quality; run the final polish phase at 'highest').
+    jac_precision: str = "highest"
 
 
 class SolveResult(NamedTuple):
@@ -57,27 +71,70 @@ class _State(NamedTuple):
     it: jnp.ndarray
     done: jnp.ndarray
     converged: jnp.ndarray
+    xinv: jnp.ndarray   # (P, P) warm Newton-Schulz inverse (unused: (0, 0))
 
 
-def _dogleg_step(g, B, delta, damping):
+def _gn_direction_cholesky(g, B):
+    """Exact Gauss-Newton direction via Cholesky. Returns (p_gn, ok)."""
+    P = g.shape[0]
+    eye = jnp.eye(P, dtype=g.dtype)
+    L = jnp.linalg.cholesky(B)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, eye)
+    y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
+    p_gn = -jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
+    return jnp.where(ok, p_gn, jnp.zeros_like(g)), ok
+
+
+def _gn_direction_newton_schulz(g, B, xinv, ns_steps):
+    """Approximate GN direction via a warm-started Newton-Schulz inverse of
+    the Jacobi-preconditioned system. Pure batched matmuls.
+
+    Returns (p_gn, ok, xinv_new). The inverse is of Bt = D B D with
+    D = diag(B)^-1/2; across dogleg iterations B changes smoothly (and not at
+    all on rejected steps), so a few refinement steps per iteration keep the
+    inverse tracking. When the warm inverse has diverged, restart from the
+    guaranteed-contractive init Bt^T / (|Bt|_1 |Bt|_inf).
+    """
+    P = g.shape[0]
+    eye = jnp.eye(P, dtype=g.dtype)
+    d = jax.lax.rsqrt(jnp.clip(jnp.diagonal(B), 1e-12, None))
+    Bt = (d[:, None] * B) * d[None, :]
+    gt = d * g
+
+    resid = eye - xinv @ Bt
+    bad = (jnp.sum(resid * resid) > 0.25 * P) | ~jnp.all(jnp.isfinite(xinv))
+    x0_safe = Bt.T / (jnp.max(jnp.sum(jnp.abs(Bt), axis=0))
+                      * jnp.max(jnp.sum(jnp.abs(Bt), axis=1)) + 1e-12)
+    X = jnp.where(bad, x0_safe, xinv)
+    for _ in range(ns_steps):
+        X = X @ (2.0 * eye - Bt @ X)
+
+    p_gn = -(d * (X @ gt))
+    # quality gate: direction must be descent and the inverse residual small
+    resid2 = eye - X @ Bt
+    ok = (jnp.sum(resid2 * resid2) < 0.01 * P) & (g @ p_gn < 0) \
+        & jnp.all(jnp.isfinite(p_gn))
+    return jnp.where(ok, p_gn, jnp.zeros_like(g)), ok, X
+
+
+def _dogleg_step(g, B, delta, damping, xinv, linear_solver, ns_steps):
     """Dogleg step p minimizing the quadratic model within |p| <= delta.
 
     g: (P,) gradient of 0.5-model (here Jᵀr); B: (P,P) Gauss-Newton Hessian.
-    Returns p (P,).
+    Returns (p (P,), xinv_new).
     """
     P = g.shape[0]
     eye = jnp.eye(P, dtype=g.dtype)
     trace = jnp.trace(B)
     lam = damping * (trace / P + 1.0)
-    L = jnp.linalg.cholesky(B + lam * eye)
-    ok = jnp.all(jnp.isfinite(L))
-    L = jnp.where(ok, L, eye)
+    B = B + lam * eye
 
-    # Gauss-Newton step
-    y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
-    p_gn = -jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
-    p_gn = jnp.where(ok, p_gn, jnp.zeros_like(g))
-    gn_norm = jnp.linalg.norm(p_gn)
+    if linear_solver == "newton_schulz":
+        p_gn, ok, xinv = _gn_direction_newton_schulz(g, B, xinv, ns_steps)
+    else:
+        p_gn, ok = _gn_direction_cholesky(g, B)
+    gn_norm = jnp.where(ok, jnp.linalg.norm(p_gn), jnp.inf)
 
     # Cauchy (steepest-descent) point
     gBg = g @ (B @ g) + 1e-30
@@ -100,9 +157,9 @@ def _dogleg_step(g, B, delta, damping):
         p_gn,
         jnp.where(sd_norm >= delta,
                   p_sd * (delta / (sd_norm + 1e-30)),
-                  on_segment()),
+                  jnp.where(ok, on_segment(), p_sd)),
     )
-    return p
+    return p, xinv
 
 
 def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -131,13 +188,16 @@ def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         return jnp.logical_and(~s.done, s.it < opts.maxiter)
 
     def body(s: _State) -> _State:
-        J = jac_fn(s.x) * mask[None, :]
-        g = J.T @ s.r
-        B = J.T @ J
+        with jax.default_matmul_precision(opts.jac_precision):
+            J = jac_fn(s.x) * mask[None, :]
+            g = J.T @ s.r
+            B = J.T @ J
         # freeze masked params exactly: identity rows/cols, zero gradient
         B = B * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
 
-        p = _dogleg_step(g, B, s.delta, opts.damping) * mask
+        p, xinv = _dogleg_step(g, B, s.delta, opts.damping, s.xinv,
+                               opts.linear_solver, opts.ns_steps)
+        p = p * mask
         x_new = s.x + p
         r_new = residual_fn(x_new)
         f_new = r_new @ r_new
@@ -178,18 +238,21 @@ def dogleg_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         it = jnp.where(frozen, s.it, s.it + 1)
         return _State(
             x=x, r=r, f=f, delta=delta, it=it, done=s.done | done,
-            converged=s.converged | (~frozen & (small_improvement | tiny_cost | tiny_grad)))
+            converged=s.converged | (~frozen & (small_improvement | tiny_cost | tiny_grad)),
+            xinv=xinv)
 
     # Gauss-Newton needs full f32 mantissas: TPU matmuls default to bf16
     # inputs, which stalls convergence at ~mm error. The context applies to
     # every op traced inside (residuals, jacfwd tangents, normal equations).
+    xinv0_dim = P if opts.linear_solver == "newton_schulz" else 0
     with jax.default_matmul_precision("highest"):
         r0 = residual_fn(x0)
         s0 = _State(x=x0, r=r0, f=r0 @ r0,
                     delta=jnp.asarray(opts.delta_0, x0.dtype),
                     it=jnp.asarray(0, jnp.int32),
                     done=jnp.asarray(False),
-                    converged=jnp.asarray(False))
+                    converged=jnp.asarray(False),
+                    xinv=jnp.zeros((xinv0_dim, xinv0_dim), x0.dtype))
         s = jax.lax.while_loop(cond, body, s0)
     return SolveResult(x=s.x, cost=s.f, iterations=s.it, converged=s.converged)
 

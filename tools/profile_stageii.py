@@ -71,7 +71,8 @@ def main():
     maskf = jnp.ones((F, args.markers), jnp.float32)
     obs = jnp.asarray(obs)
 
-    opts = StageIIOptions(maxiter=args.maxiter, smoothing_sweeps=2)
+    opts = StageIIOptions(maxiter=args.maxiter, smoothing_sweeps=2,
+                          optimize_fingers=True)
     prob = prepare_stageii_problem(model, betas, latents, opts=opts)
 
     residual = make_stageii_residual(prob, opts, prior, "smplh")
@@ -106,7 +107,8 @@ def main():
               ("step1", 1.0, step1_mask, 1e-2),
               ("step2", 1.0, step2_mask, 1e-2),
               ("sweep1", 1.0, step2_mask, 1e-2),
-              ("sweep2", 1.0, step2_mask, 1e-2)]
+              ("sweep2", 1.0, step2_mask, 1e-2),
+              ("polish", 1.0, step2_mask, 1e-4)]
 
     # warmup compile
     _ = jax.block_until_ready(step(x, aux_for(10.0), step1_mask, jnp.float32(1e-3)))
