@@ -322,30 +322,36 @@ def lbs_forward(model: SurfaceModel,
       betas: (B',) B' <= model.num_shape_dirs shape (+expression/dmpl) coeffs.
       trans: (3,) global translation applied after skinning.
     """
-    nb = betas.shape[-1]
-    fullpose = fullpose_from_pose(model, pose)
-    rotmats = rodrigues(fullpose.reshape(-1, 3))  # (J, 3, 3)
+    # millimeter-accuracy geometry demands true f32 contractions: TPU matmuls
+    # default to bf16 inputs (~0.4% relative = millimeters on body-scale
+    # coordinates), so pin the precision here rather than at every call site
+    with jax.default_matmul_precision("highest"):
+        nb = betas.shape[-1]
+        fullpose = fullpose_from_pose(model, pose)
+        rotmats = rodrigues(fullpose.reshape(-1, 3))  # (J, 3, 3)
 
-    v_shaped = model.v_template + jnp.einsum("vcb,b->vc", model.shapedirs[..., :nb], betas)
-    joints = model.joint_template + jnp.einsum("jcb,b->jc", model.joint_shapedirs[..., :nb], betas)
+        v_shaped = model.v_template + jnp.einsum(
+            "vcb,b->vc", model.shapedirs[..., :nb], betas)
+        joints = model.joint_template + jnp.einsum(
+            "jcb,b->jc", model.joint_shapedirs[..., :nb], betas)
 
-    # pose blendshapes with a cheap-tangent custom JVP
-    if model.posedirs.shape[-1]:
-        v_posed = v_shaped + _pose_blend(model.posedirs, fullpose)
-    else:
-        v_posed = v_shaped
+        # pose blendshapes with a cheap-tangent custom JVP
+        if model.posedirs.shape[-1]:
+            v_posed = v_shaped + _pose_blend(model.posedirs, fullpose)
+        else:
+            v_posed = v_shaped
 
-    A, joints_posed = forward_kinematics(joints, rotmats, model.parents)
+        A, joints_posed = forward_kinematics(joints, rotmats, model.parents)
 
-    # skinning: per-vertex blended transform applied to homogeneous v_posed
-    if 0 < model.skin_k < model.num_joints:
-        # sparse contraction over each vertex's top-k joints; the top-k of the
-        # constant weight matrix is folded at compile time
-        w_k, j_k = jax.lax.top_k(model.weights, model.skin_k)  # (V, k) each
-        T = jnp.einsum("vk,vkab->vab", w_k, A[j_k])
-    else:
-        T = jnp.einsum("vj,jab->vab", model.weights, A)        # (V, 4, 4)
-    verts = jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3] + trans
+        # skinning: per-vertex blended transform applied to homogeneous v_posed
+        if 0 < model.skin_k < model.num_joints:
+            # sparse contraction over each vertex's top-k joints; the top-k of
+            # the constant weight matrix is folded at compile time
+            w_k, j_k = jax.lax.top_k(model.weights, model.skin_k)  # (V, k)
+            T = jnp.einsum("vk,vkab->vab", w_k, A[j_k])
+        else:
+            T = jnp.einsum("vj,jab->vab", model.weights, A)       # (V, 4, 4)
+        verts = jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed) + T[:, :3, 3] + trans
     if want_joints:
         return verts, joints_posed + trans
     return verts

@@ -126,7 +126,9 @@ class _Layout(NamedTuple):
 
 def _full_can_verts(model, betas):
     nb = betas.shape[-1]
-    return model.v_template + jnp.einsum("vcb,b->vc", model.shapedirs[..., :nb], betas)
+    with jax.default_matmul_precision("highest"):  # bf16 default = mm noise
+        return model.v_template + jnp.einsum(
+            "vcb,b->vc", model.shapedirs[..., :nb], betas)
 
 
 def _init_latents(model: SurfaceModel, layout_vids: np.ndarray,

