@@ -25,6 +25,8 @@ C++ analytic LBS Jacobians):
 from __future__ import annotations
 
 import dataclasses
+import functools
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -202,8 +204,6 @@ def fullpose_from_pose(model: SurfaceModel, pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([body, hands], axis=-1)
 
 
-import functools
-
 
 @functools.lru_cache(maxsize=None)
 def _tree_levels(parents: Tuple[int, ...]):
@@ -221,15 +221,110 @@ def _tree_levels(parents: Tuple[int, ...]):
     return tuple(levels)
 
 
+@functools.lru_cache(maxsize=None)
+def _ancestor_matrix(parents: Tuple[int, ...]) -> np.ndarray:
+    """(J, J) float mask: anc[k, j] = 1 iff j is on the root->k path
+    (including k itself)."""
+    J = len(parents)
+    anc = np.zeros((J, J), np.float32)
+    for k in range(J):
+        j = k
+        while j >= 0:
+            anc[k, j] = 1.0
+            j = parents[j]
+    return anc
+
+
+def _rel_trans(joints, parents):
+    if len(parents) > 1:
+        par = jnp.asarray(parents[1:], dtype=jnp.int32)
+        return jnp.concatenate([joints[:1], joints[1:] - joints[par]])
+    return joints
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _fk_g(joints: jnp.ndarray, rotmats: jnp.ndarray,
+          parents: Tuple[int, ...]) -> jnp.ndarray:
+    """Global joint transforms G (J, 4, 4) over the kinematic tree.
+
+    Primal: scatter-free level composition (BFS-ordered gathers + concats,
+    tree-depth sequential steps). Tangent (custom JVP): the analytic form
+        dG_k = (sum_{j in path(k)} W_j) G_k,
+        W_j = G_p(j) (dL_j L_j^-1) G_p(j)^-1
+    where the ancestor sum is ONE dense (J x J) contraction — so under
+    jacfwd's O(100)-wide tangent batch there is no sequential tree walk at
+    all, only batched 4x4 matmuls and an MXU matmul. This is the TPU-native
+    replacement for the reference's C++ analytic LBS pose Jacobians
+    (smpl_fast_derivatives.py:255-261).
+    """
+    J = len(parents)
+    rel_trans = _rel_trans(joints, parents)
+
+    bottom = jnp.tile(jnp.asarray([[[0.0, 0.0, 0.0, 1.0]]], rotmats.dtype),
+                      (J, 1, 1))
+    local = jnp.concatenate(
+        [jnp.concatenate([rotmats, rel_trans[:, :, None]], axis=2), bottom],
+        axis=1)
+
+    # level composition: the primal runs once per frame (no tangent batch),
+    # tree-depth scatter/gather steps are cheap here; all the jacfwd traffic
+    # goes through the analytic JVP below instead
+    G = local
+    for ids, pids in _tree_levels(parents)[1:]:
+        composed = jnp.einsum("kab,kbc->kac", G[jnp.asarray(pids)],
+                              local[jnp.asarray(ids)])
+        G = G.at[jnp.asarray(ids)].set(composed)
+    return G
+
+
+@_fk_g.defjvp
+def _fk_g_jvp(parents, primals, tangents):
+    joints, rotmats = primals
+    dj, dR = tangents
+    J = len(parents)
+    G = _fk_g(joints, rotmats, parents)
+
+    t_rel = _rel_trans(joints, parents)
+    dt_rel = _rel_trans(dj, parents)
+
+    # M_j = dL_j @ L_j^-1 = [dR R^T | dt - dR R^T t ; 0 0]
+    dRRt = jnp.einsum("jab,jcb->jac", dR, rotmats)
+    u = dt_rel - jnp.einsum("jab,jb->ja", dRRt, t_rel)
+
+    # parent transforms (root parent = identity)
+    pidx = jnp.asarray([max(p, 0) for p in parents], jnp.int32)
+    root_mask = jnp.asarray([1.0 if p < 0 else 0.0 for p in parents],
+                            rotmats.dtype)[:, None, None]
+    eye4 = jnp.eye(4, dtype=rotmats.dtype)
+    Gp = root_mask * eye4 + (1.0 - root_mask) * G[pidx]
+    Q = Gp[:, :3, :3]
+    b = Gp[:, :3, 3]
+
+    # W_j = Gp [dRRt | u; 0] Gp^-1, with Gp^-1 = [Q^T | -Q^T b; 0 1]:
+    #   W_rot = Q dRRt Q^T
+    #   W_trans = -W_rot b + Q u
+    W_rot = jnp.einsum("jab,jbc,jdc->jad", Q, dRRt, Q)
+    W_tr = -jnp.einsum("jab,jb->ja", W_rot, b) + jnp.einsum("jab,jb->ja", Q, u)
+
+    # cumulative generators over ancestor paths: one dense (J, J) contraction
+    anc = jnp.asarray(_ancestor_matrix(parents))
+    C_rot = jnp.einsum("kj,jab->kab", anc, W_rot)
+    C_tr = jnp.einsum("kj,ja->ka", anc, W_tr)
+
+    # dG_k = C_k G_k  (C is [C_rot | C_tr; 0 0])
+    dG_rot = jnp.einsum("kab,kbc->kac", C_rot, G[:, :3, :3])
+    dG_tr = jnp.einsum("kab,kb->ka", C_rot, G[:, :3, 3]) + C_tr
+    zeros_row = jnp.zeros((J, 1, 4), rotmats.dtype)
+    dG = jnp.concatenate(
+        [jnp.concatenate([dG_rot, dG_tr[:, :, None]], axis=2), zeros_row],
+        axis=1)
+    return G, dG
+
+
 def forward_kinematics(joints: jnp.ndarray, rotmats: jnp.ndarray,
                        parents: Tuple[int, ...]) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rigid FK over the kinematic tree, parallel across each tree level.
-
-    The naive parent walk is O(J) *sequential* ops — 52 tiny matmuls that
-    leave the TPU latency-bound; grouping joints by depth cuts that to
-    tree-depth (~11 for SMPL-H/X) batched composes. The reference's C++ FK is
-    sequential per frame (inside chumpy's verts_decorated); this is the
-    vmap/tangent-batched shape of the same recursion.
+    """Rigid FK over the kinematic tree (see `_fk_g` for the fast-tangent
+    core).
 
     Args:
       joints: (J, 3) rest-pose joint locations.
@@ -241,24 +336,7 @@ def forward_kinematics(joints: jnp.ndarray, rotmats: jnp.ndarray,
       rest pose (translation already reduced by G_k @ j_k), joints_posed is
       (J, 3) posed joint locations.
     """
-    J = len(parents)
-    if J > 1:
-        par = jnp.asarray(parents[1:], dtype=jnp.int32)
-        rel_trans = joints.at[1:].add(-joints[par])
-    else:  # single-joint model (rigid object)
-        rel_trans = joints
-
-    # local homogeneous transforms, built in one shot
-    local = jnp.zeros((J, 4, 4), rotmats.dtype)
-    local = local.at[:, :3, :3].set(rotmats)
-    local = local.at[:, :3, 3].set(rel_trans)
-    local = local.at[:, 3, 3].set(1.0)
-
-    G = local
-    for ids, pids in _tree_levels(parents)[1:]:
-        composed = jnp.einsum("kab,kbc->kac", G[pids], local[ids])
-        G = G.at[ids].set(composed)
-
+    G = _fk_g(joints, rotmats, parents)
     joints_posed = G[:, :3, 3]
     # A_k = G_k with translation column reduced by G_k[:3,:3] @ j_k (rest joint)
     corr = jnp.einsum("jab,jb->ja", G[:, :3, :3], joints)
@@ -322,10 +400,11 @@ def lbs_forward(model: SurfaceModel,
       betas: (B',) B' <= model.num_shape_dirs shape (+expression/dmpl) coeffs.
       trans: (3,) global translation applied after skinning.
     """
-    # millimeter-accuracy geometry demands true f32 contractions: TPU matmuls
-    # default to bf16 inputs (~0.4% relative = millimeters on body-scale
-    # coordinates), so pin the precision here rather than at every call site
-    with jax.default_matmul_precision("highest"):
+    # millimeter-accuracy geometry demands f32-grade contractions: TPU
+    # matmuls default to single-pass bf16 inputs (~0.4% relative =
+    # millimeters on body-scale coordinates). Three-pass ('high') splits f32
+    # into bf16 triples — ~f32 rounding at half the cost of 'highest'.
+    with jax.default_matmul_precision("high"):
         nb = betas.shape[-1]
         fullpose = fullpose_from_pose(model, pose)
         rotmats = rodrigues(fullpose.reshape(-1, 3))  # (J, 3, 3)

@@ -74,6 +74,12 @@ class StageIIOptions:
     anchor_stride: int = 8       # hierarchical pass A: full first-frame
                                  # schedule on every S-th frame, interpolated
                                  # warm starts in between (1 = every frame)
+    # straggler compaction: run each full-frame phase for a short iteration
+    # budget, then gather the (few) unconverged frames into a small batch and
+    # finish them at full maxiter — the batched while_loop otherwise makes
+    # every frame pay for the slowest one
+    compaction_iters: int = 12
+    compaction_bucket: int = 256
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -393,19 +399,43 @@ def mosh_stageii_solve(prob: StageIIProblem,
                             linear_solver=opts.linear_solver,
                             ns_steps=opts.ns_steps,
                             jac_precision=opts.jac_precision)
-    dl_opts_polish = dataclasses.replace(dl_opts, jac_precision="highest")
+    dl_short = dataclasses.replace(
+        dl_opts, maxiter=min(opts.compaction_iters, opts.maxiter))
+
+    def _mkstep(d):
+        def step(x, aux, pmask, e3):
+            r = batched_dogleg_solve(residual, x, aux, d,
+                                     param_mask=pmask, e_3=e3)
+            return r.x, r.converged
+        return jax.jit(step) if jit_step else step
+
+    step_full = _mkstep(dl_opts)
+    step_short = _mkstep(dl_short)
+
+    compaction = (jit_step and opts.compaction_iters > 0
+                  and opts.compaction_iters < opts.maxiter and F > 64)
 
     def step(x, aux, pmask, e3):
-        return batched_dogleg_solve(residual, x, aux, dl_opts,
-                                    param_mask=pmask, e_3=e3).x
+        """One phase: short budget for everyone, full budget for stragglers
+        gathered into padded buckets (host-side gather; shapes bucketized so
+        at most a couple of extra compilations exist)."""
+        if not compaction:
+            return step_full(x, aux, pmask, e3)[0]
+        x, conv = step_short(x, aux, pmask, e3)
+        bad = np.where(~np.asarray(conv))[0]
+        if bad.size == 0:
+            return x
+        bucket = min(F, opts.compaction_bucket *
+                     max(1, int(np.ceil(bad.size / opts.compaction_bucket))))
+        ids = np.zeros(bucket, np.int64)
+        ids[: bad.size] = bad                     # pad with frame 0 (redundant
+        idx = jnp.asarray(ids)                    # work, discarded on scatter)
+        aux_sub = jax.tree.map(lambda a: a[idx], aux)
+        x_sub, _ = step_full(x[idx], aux_sub, pmask, e3)
+        return x.at[idx[: bad.size]].set(x_sub[: bad.size])
 
     def step_polish(x, aux, pmask, e3):
-        return batched_dogleg_solve(residual, x, aux, dl_opts_polish,
-                                    param_mask=pmask, e_3=e3).x
-
-    if jit_step:
-        step = jax.jit(step)
-        step_polish = jax.jit(step_polish)
+        return step(x, aux, pmask, e3)
 
     # ---- pass A: hierarchical anchor solve + interpolated warm starts ------
     # The reference warm-starts each frame from its predecessor; the batched
