@@ -490,9 +490,17 @@ def mosh_stageii_solve(prob: StageIIProblem,
                             extra_anchor=extra_anchor, extra_on=extra_on),
                  step2_mask, jnp.float32(1e-2))
 
-    # polish: one tight full-pose solve from the warm state
+    # polish: one tight full-pose solve from the warm state, keeping the
+    # velocity anchors so the smoothness coupling survives the final solve
     if opts.e_3_polish is not None:
-        x = step_polish(x, aux_for(1.0), step2_mask, jnp.float32(opts.e_3_polish))
+        pose = x[:, 3:3 + P]
+        velo_anchor = jnp.zeros_like(pose)
+        velo_on = jnp.zeros((F,), jnp.float32)
+        if opts.smoothing_sweeps > 0 and F > 2:
+            velo_anchor = velo_anchor.at[2:].set(2.0 * pose[1:-1] - pose[:-2])
+            velo_on = velo_on.at[2:].set(1.0)
+        x = step_polish(x, aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on),
+                        step2_mask, jnp.float32(opts.e_3_polish))
 
     # ---- outputs ------------------------------------------------------------
     trans = x[:, :3]

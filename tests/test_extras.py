@@ -166,3 +166,66 @@ class TestHeadCorr:
             opts=StageIOptions(maxiter=25, num_betas=16),
             prior=None, head_corr=(corr, head_ids))
         assert np.isfinite(res.errs["data_mean_m"])
+
+
+class TestSmplxFace:
+    def test_stageii_with_expressions(self, rng):
+        """SMPL-X solve with jaw + expression dofs (BASELINE config 4)."""
+        m = make_synthetic_model("smplx", num_verts=500, seed=14,
+                                 num_betas=16, num_shape_dirs=26,
+                                 dof_per_hand=6)
+        M, F = 16, 4
+        vids = rng.choice(500, M, replace=False)
+        betas16 = (rng.normal(size=16) * 0.3).astype(np.float32)
+        exprs = (rng.normal(size=(F, 10)) * 0.4).astype(np.float32)
+        can_v = np.asarray(m.v_template) + np.einsum(
+            "vcb,b->vc", np.asarray(m.shapedirs)[..., :16], betas16)
+        latents = can_v[vids]
+        idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+        coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+        poses = (rng.normal(size=(F, m.pose_dof)) * 0.08).astype(np.float32)
+        trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
+
+        def sim(p, t, e):
+            fb = jnp.concatenate([jnp.asarray(betas16), e])  # expr at cols 16:26
+            return reconstruct_markers(lbs_forward(m, p, fb, t), idx, coeffs)
+
+        obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans),
+                                       jnp.asarray(exprs)))
+        from moshpp_tpu.priors import make_gmm_prior
+        prior = make_gmm_prior(dim=63, num_components=3, seed=15, scale=0.3)
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=1,
+                              optimize_face=True, optimize_fingers=True,
+                              num_expressions=10, expr_start=16)
+        prob = prepare_stageii_problem(m, betas16, latents, opts=opts)
+        res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),
+                                 prior=prior, model_type="smplx")
+        assert res.extra.shape == (F, 10)
+        assert res.fullpose.shape == (F, 165)
+        err_mm = np.asarray(res.data_err) * 1000
+        assert err_mm.mean() < 3.5, f"smplx face solve err {err_mm.mean():.2f} mm"
+
+
+class TestMatMocap:
+    def test_mat_roundtrip(self, tmp_path, rng):
+        import scipy.io
+        from moshpp_tpu.io.mocap import MocapSession
+        pts = rng.normal(size=(6, 3, 3)) * 100
+        labels = np.array(["AA", "BB", "CC"], dtype=object)
+        scipy.io.savemat(str(tmp_path / "m.mat"),
+                         {"Markers": pts, "Labels": labels.reshape(1, -1)})
+        s = MocapSession(str(tmp_path / "m.mat"), mocap_unit="cm")
+        assert s.labels == ["AA", "BB", "CC"]
+        np.testing.assert_allclose(s.markers, pts / 100.0, atol=1e-9)
+
+
+class TestGraftEntry:
+    def test_entry_and_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert np.all(np.isfinite(np.asarray(out)))
+        if len(jax.devices()) >= 4:
+            g.dryrun_multichip(4)
