@@ -36,7 +36,7 @@ def main():
                                              prepare_stageii_problem)
     from moshpp_tpu.priors import make_gmm_prior
 
-    FRAMES = int(os.environ.get("BENCH_FRAMES", "2048"))
+    FRAMES = int(os.environ.get("BENCH_FRAMES", "4096"))
     MARKERS = 46
     rng = np.random.default_rng(0)
 

@@ -70,7 +70,7 @@ def synth_world(tmp_path_factory):
     ground-truth motion, directory conventions the config resolvers expect."""
     root = tmp_path_factory.mktemp("world")
     rng = np.random.default_rng(7)
-    model = make_synthetic_model("smplh", num_verts=500, seed=21, dof_per_hand=6)
+    model = make_synthetic_model("smplh", num_verts=320, seed=21, dof_per_hand=6)
 
     support = root / "support" / "smplh"
     support.mkdir(parents=True)
@@ -86,7 +86,7 @@ def synth_world(tmp_path_factory):
 
     # ground-truth subject
     M = 14
-    vids = rng.choice(500, M, replace=False)
+    vids = rng.choice(320, M, replace=False)
     betas = rng.normal(size=16).astype(np.float32) * 0.3
     can_v = np.asarray(model.v_template) + np.einsum(
         "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas)
@@ -106,7 +106,7 @@ def synth_world(tmp_path_factory):
 
     seq_fnames = []
     for s in range(2):
-        F = 25
+        F = 18
         poses = np.zeros((F, model.pose_dof), np.float32)
         poses[0] = rng.normal(size=model.pose_dof) * 0.12
         for t in range(1, F):
@@ -143,11 +143,11 @@ def _base_overrides(w):
         "surface_model.num_betas": 16,
         "surface_model.dof_per_hand": 6,
         "moshpp.pose_hand_prior_fname": None,
-        "moshpp.stagei_frame_picker.num_frames": 4,
+        "moshpp.stagei_frame_picker.num_frames": 3,
         "moshpp.stagei_frame_picker.least_avail_markers": 0.5,
-        "opt_settings.maxiter": 40,
+        "opt_settings.maxiter": 25,
         "opt_settings.smoothing_sweeps": 1,
-        "mocap.end_fidx": 10,
+        "mocap.end_fidx": 8,
     }
 
 
@@ -179,7 +179,7 @@ class TestMoShHead:
             assert key in data, key
         assert data["fullpose"].shape[1] == 156  # smplh fullpose
         err = data["stageii_debug_details"]["stageii_errs"]["data_mean_m"]
-        assert float(np.mean(err)) * 1000 < 5.0  # mm, loose integration bar
+        assert float(np.mean(err)) * 1000 < 10.0  # mm, loose integration bar
 
         # second run must hit the caches (no recompute)
         mp2 = MoSh(dict_cfg=_base_overrides(w))
@@ -199,7 +199,7 @@ class TestMoShHead:
         d = np.load(out_npz, allow_pickle=True)
         assert str(d["surface_model_type"]) == "smplh"
         assert d["poses"].shape[1] == 156
-        assert d["trans"].shape == (10, 3)
+        assert d["trans"].shape == (8, 3)
         assert "pose_body" in d and d["pose_body"].shape[1] == 63
         assert "pose_hand" in d
         assert out["num_markers"] == 14

@@ -54,7 +54,7 @@ def _make_truth(model, num_markers, num_frames, rng, pose_scale=0.15,
 
 @pytest.fixture(scope="module")
 def model():
-    return make_synthetic_model("smplh", num_verts=600, seed=11, dof_per_hand=6)
+    return make_synthetic_model("smplh", num_verts=400, seed=11, dof_per_hand=6)
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +66,7 @@ class TestStageII:
     def test_recovers_markers_below_1mm(self, model, prior, rng):
         truth = _make_truth(model, num_markers=16, num_frames=12, rng=rng)
         prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
-        opts = StageIIOptions(maxiter=40, smoothing_sweeps=1)
+        opts = StageIIOptions(maxiter=60, smoothing_sweeps=1, anchor_stride=4)
         mask = np.ones((12, 16), bool)
         res = mosh_stageii_solve(prob, opts, truth["obs"], mask, prior=prior)
         err_mm = np.asarray(res.data_err) * 1000.0
@@ -101,11 +101,11 @@ class TestStageII:
 
 class TestStageI:
     def test_recovers_shape_and_markers(self, model, prior, rng):
-        M, F = 16, 6
+        M, F = 14, 5
         truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
                             pose_scale=0.1, betas_scale=0.4)
         labels = [f"L{i}" for i in range(M)]
-        opts = StageIOptions(maxiter=60, num_betas=model.num_betas)
+        opts = StageIOptions(maxiter=40, num_betas=model.num_betas)
         res = mosh_stagei_solve(
             model,
             frames_obs=truth["obs"],
