@@ -32,6 +32,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same deterministic stream no matter
+    # which tests ran before it (a shared stream made results order-dependent)
     return np.random.default_rng(42)
