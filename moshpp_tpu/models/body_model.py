@@ -176,9 +176,8 @@ def pose_part_ids(model_type: str, optimize_toes: bool = False) -> dict:
                      20, 21, 22, 23, 24, 25, 26, 27, 28, 30, 31, 32, 33, 34]
         parts["body"] = sorted(np.arange(105).reshape(-1, 3)[joint_ids].reshape(-1).tolist())
     if info.has_hands:
-        ndof_hands = MODEL_TYPE_INFO[model_type].num_hands
-        # finger ids live after body dof; actual length depends on dof_per_hand,
-        # callers slice with model.pose_dof.
+        # finger ids live after body dof; their count depends on dof_per_hand,
+        # so callers slice pose[info.body_pose_dof:] directly
         parts["finger_start"] = info.body_pose_dof
     if not optimize_toes and parts["body"]:
         lo, hi = info.toes_pose_ids
