@@ -186,6 +186,18 @@ def pose_part_ids(model_type: str, optimize_toes: bool = False) -> dict:
     return parts
 
 
+def effective_weights(model: SurfaceModel) -> jnp.ndarray:
+    """The dense (V, J) skinning weights `lbs_forward` actually applies:
+    top-`skin_k` support per vertex when `skin_k` is set, else the raw
+    weights. Constant per model — XLA folds/hoists it out of solver loops."""
+    if 0 < model.skin_k < model.num_joints:
+        w_k, j_k = jax.lax.top_k(model.weights, model.skin_k)
+        V = model.weights.shape[0]
+        rows = jnp.arange(V, dtype=j_k.dtype)[:, None]
+        return jnp.zeros_like(model.weights).at[rows, j_k].set(w_k)
+    return model.weights
+
+
 def fullpose_from_pose(model: SurfaceModel, pose: jnp.ndarray) -> jnp.ndarray:
     """Expand the optimization pose vector into per-joint axis-angles.
 

@@ -78,3 +78,49 @@ def rodrigues_inverse(rot: jnp.ndarray) -> jnp.ndarray:
 
     near_pi = (jnp.pi - theta)[..., None] < 1e-4
     return jnp.where(near_pi, rotvec_pi, rotvec_generic)
+
+
+def axis_angle_to_quat(rotvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> unit quaternion (..., 4) as (w, xyz).
+    Analytic through theta = 0 (same guard as `rodrigues`)."""
+    rotvec = jnp.asarray(rotvec)
+    theta = jnp.sqrt(jnp.sum(rotvec * rotvec, axis=-1, keepdims=True) + _EPS)
+    half = 0.5 * theta
+    return jnp.concatenate([jnp.cos(half), rotvec * (jnp.sin(half) / theta)],
+                           axis=-1)
+
+
+def quat_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) (w, xyz) -> axis-angle (..., 3)."""
+    q = jnp.asarray(q)
+    # canonicalize sign so w >= 0 (theta in [0, pi])
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    xyz = q[..., 1:]
+    sin_half = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True) + _EPS)
+    theta = 2.0 * jnp.arctan2(sin_half, w)
+    return xyz * (theta / sin_half)
+
+
+def slerp_axis_angle(a: jnp.ndarray, b: jnp.ndarray,
+                     alpha: jnp.ndarray) -> jnp.ndarray:
+    """Spherical interpolation between axis-angle rotations (..., 3).
+
+    alpha broadcasts over the leading dims. Unlike linear interpolation of
+    axis-angle vectors (wrong for large inter-anchor rotations — e.g. fast
+    spins between stage-ii warm-start anchors), slerp follows the geodesic.
+    """
+    qa = axis_angle_to_quat(a)
+    qb = axis_angle_to_quat(b)
+    dot = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = qb * jnp.where(dot < 0, -1.0, 1.0)      # shorter arc
+    dot = jnp.clip(jnp.abs(dot), -1.0, 1.0)
+    omega = jnp.arccos(jnp.clip(dot, 0.0, 1.0 - 1e-7))
+    so = jnp.sin(omega)
+    # small-angle fallback: lerp + normalize (nlerp) is exact in the limit
+    small = so < 1e-4
+    wa = jnp.where(small, 1.0 - alpha, jnp.sin((1.0 - alpha) * omega) / jnp.where(small, 1.0, so))
+    wb = jnp.where(small, alpha, jnp.sin(alpha * omega) / jnp.where(small, 1.0, so))
+    q = wa * qa + wb * qb
+    q = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + _EPS)
+    return quat_to_axis_angle(q)

@@ -57,8 +57,12 @@ def mosh_stageii_solve_sharded(prob: StageIIProblem,
     """Stage-ii solve with the frame axis sharded over the mesh.
 
     The problem context (subsetted model, coeffs, betas, prior) is replicated;
-    observations/masks/results are frame-sharded. Works on any device count
-    that divides the (padded) frame count.
+    observations/masks/results are frame-sharded. Each shard runs the full
+    fused schedule on its local frames under `shard_map` — anchor passes and
+    in-graph straggler compaction stay *local* to the shard (no cross-chip
+    sync inside the dogleg loops), and the smoothing sweeps' 2-frame velocity
+    halo crosses shard boundaries via `ppermute` over ICI. Works on any
+    device count that divides the (padded) frame count.
     """
     mesh = mesh if mesh is not None else frame_mesh()
     n_dev = np.prod([mesh.shape[a] for a in mesh.axis_names])
@@ -69,15 +73,17 @@ def mosh_stageii_solve_sharded(prob: StageIIProblem,
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    obs_d = jax.device_put(obs_p, shard)
-    mask_d = jax.device_put(mask_p, shard)
+    obs_d = jax.device_put(jnp.asarray(obs_p, jnp.float32), shard)
+    mask_d = jax.device_put(jnp.asarray(mask_p, jnp.float32), shard)
     prob_d = jax.device_put(prob, repl)
-    prior_d = jax.device_put(prior, repl) if prior is not None else None
+    prior_d = jax.device_put(prior, repl) if prior is not None else prior
 
-    @partial(jax.jit, out_shardings=None)
-    def run(p, o, m):
-        return mosh_stageii_solve(p, opts, o, m, prior=prior_d,
-                                  model_type=model_type, jit_step=False)
-
-    res = run(prob_d, obs_d, mask_d)
+    # same cached per-phase programs as the single-chip path: with
+    # frame-sharded inputs XLA compiles them SPMD — collectives appear only
+    # where frames couple (velocity-anchor halo shifts, compaction argsort,
+    # while-loop any()-reductions), all tiny and ICI-bound. The in-graph
+    # straggler compaction gathers across the WHOLE batch, so it doubles as
+    # cross-chip load balancing.
+    res = mosh_stageii_solve(prob_d, opts, obs_d, mask_d, prior=prior_d,
+                             model_type=model_type)
     return StageIIResult(*(np.asarray(v)[:F] for v in res))

@@ -188,6 +188,16 @@ class MoSh:
                     2.0 * horse_joint_angle_residual(pose_body)])
 
             return horse_prior
+        if model_type == "animal_dog":
+            # max-mixture GMM over the 31-joint subset the dog model
+            # articulates (dog_body_prior.py:47-58); the solver applies it to
+            # pose[body_ids], which for animal_dog is exactly DOG_POSE_IDS
+            from moshpp_tpu.priors.mahalanobis import (DOG_POSE_IDS,
+                                                       load_dog_prior)
+            dog = load_dog_prior(fname)
+            assert dog.dim == len(DOG_POSE_IDS), (
+                f"dog prior dim {dog.dim} != {len(DOG_POSE_IDS)} selected dofs")
+            return dog
         # exclude hands from the body prior for the hand-PCA families
         # (gmm_prior_ch.py:116)
         npose = 63 if model_type in ("smplh", "smplx") else None

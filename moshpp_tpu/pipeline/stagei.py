@@ -183,8 +183,11 @@ def mosh_stagei_solve(model: SurfaceModel,
         exclude_vertex_mask = smplx_eyeball_mask(model.v_template.shape[0])
     exclude_vertex_mask = jnp.asarray(exclude_vertex_mask)
 
-    from moshpp_tpu.pipeline.stageii import _as_prior_fn
-    prior_fn = _as_prior_fn(prior, model_type)
+    from moshpp_tpu.priors.gmm import MaxMixturePrior, gmm_prior_residual
+    if isinstance(prior, MaxMixturePrior):
+        prior_fn = lambda pose_body: gmm_prior_residual(prior, pose_body)
+    else:
+        prior_fn = prior
 
     latents0 = _init_latents(model, layout_vids, m2b)
     m2b_j = jnp.asarray(m2b, jnp.float32)

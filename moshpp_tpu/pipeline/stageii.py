@@ -8,10 +8,13 @@ anchor from the two previous frames :624-626).
 
 The TPU formulation makes the frame axis data-parallel:
 
-  pass A (independent): every frame gets the reference's *first-frame*
-    treatment — per-frame Kabsch rigid init, then batched dogleg solves with
-    the annealed pose-prior schedule [10w, 5w, w], then the step-1
-    (trans+body, e_3=.01) and step-2 (full pose) solves — all `vmap`ped.
+  pass A (independent): every S-th frame (anchor) gets the reference's
+    *first-frame* treatment — per-frame Kabsch rigid init, then batched
+    dogleg solves with the annealed pose-prior schedule [10w, 5w, w] and a
+    full-pose anchor solve; the frames in between are initialized by
+    rotation-aware interpolation (per-joint quaternion slerp) between
+    anchors, then all frames get the step-1 (trans+body, e_3=.01) and
+    step-2 (full pose) solves.
   pass B (smoothing sweeps): the sequential velocity term
     pose_t ~ 2 pose_{t-1} - pose_{t-2} is re-created by Jacobi sweeps:
     anchors computed from the previous sweep's solutions, then one batched
@@ -21,12 +24,28 @@ The TPU formulation makes the frame axis data-parallel:
 Weight semantics match the reference exactly: wt_data scales by
 46/num_observed (chmosh.py:603), prior weights scale by the missing-marker
 anneal factor 1 + missing_frac * stageii_wt_annealing (:596-609).
+
+Performance architecture (v5e, tunneled dispatch ~27 ms/call):
+
+  * The WHOLE schedule — rigid init, anchor pass, interpolation, all solve
+    phases, smoothing sweeps, polish, outputs — is ONE jitted function; the
+    phase sequence is two `lax.scan`s over stacked per-phase parameters
+    (param mask, stopping tolerance, prior scale, velocity gate), so the
+    dogleg loop body is traced twice, not once per phase.
+  * The Gauss-Newton system (cost, gradient, JᵀJ) is assembled directly
+    (`make_stageii_system`): marker Jacobians come from the closed-form LBS
+    chain (ops/lbs_jacobian.py — the reference's C++ `lbs_derivatives`
+    equivalent), priors/regularizers contribute analytic blocks; no autodiff
+    tangent batch, no residual-row stacking.
+  * Straggler compaction is in-graph (solver-level argsort-gather, see
+    `batched_system_solve`), so it survives jit fusion AND works per-shard
+    under `shard_map` on a device mesh.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +54,16 @@ import numpy as np
 from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
                                           fullpose_from_pose, lbs_forward,
                                           pose_part_ids)
+from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
+                                         markers_and_jacobian)
 from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices, marker_coeffs,
                                              reconstruct_markers,
                                              select_frame_indices)
 from moshpp_tpu.ops.rigid_align import kabsch
-from moshpp_tpu.ops.rodrigues import rodrigues_inverse
+from moshpp_tpu.ops.rodrigues import rodrigues_inverse, slerp_axis_angle
 from moshpp_tpu.priors.gmm import MaxMixturePrior, gmm_prior_residual
-from moshpp_tpu.solver.gauss_newton import (DoglegOptions, batched_dogleg_solve)
+from moshpp_tpu.solver.gauss_newton import (DoglegOptions, GNSystem,
+                                            batched_system_solve)
 
 NUM_TRAIN_MARKERS = 46.0  # weight-normalization constant (chmosh.py:460)
 
@@ -50,6 +72,9 @@ DEFAULT_STAGEII_WEIGHTS = {
     "data": 400.0, "velo": 2.5, "dmpl": 1.0, "expr": 1.0,
     "poseB": 1.6, "poseH": 1.0, "poseF": 1.0, "annealing": 2.5,
 }
+
+STAGEII_PHASE_NAMES = ("anneal10", "anneal5", "anneal1", "anchor_step2",
+                      "step1", "step2", "sweeps", "polish")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,19 +92,16 @@ class StageIIOptions:
     e_3_polish: float = 1e-4   # final tight full-pose solve; the reference's
                                # loose per-step e_3=.01 relies on sequential
                                # warm starts the batched schedule doesn't have
-    linear_solver: str = "cholesky"  # 'newton_schulz' trades exactness for MXU
-    ns_steps: int = 4
-    jac_precision: str = "high"  # 3-pass f32 Jacobians for the bulk phases;
-                                 # the polish phase always runs 'highest'
+    linear_solver: str = "pcg"   # 'pcg' (matmul-only GN direction) or
+                                 # 'cholesky' (exact; slower batched on TPU)
+    cg_iters: int = 24
+    jac_precision: str = "high"  # 3-pass f32 Jacobians (generic path only)
     anchor_stride: int = 8       # hierarchical pass A: full first-frame
-                                 # schedule on every S-th frame, interpolated
+                                 # schedule on every S-th frame, slerped
                                  # warm starts in between (1 = every frame)
-    # straggler compaction: run each full-frame phase for a short iteration
-    # budget, then gather the (few) unconverged frames into a small batch and
-    # finish them at full maxiter — the batched while_loop otherwise makes
-    # every frame pay for the slowest one
-    compaction_iters: int = 12
-    compaction_bucket: int = 256
+    # in-graph straggler compaction: run the full batch while > F/b frames
+    # are active, then argsort-gather stragglers into an F/b bucket (per b)
+    compact_buckets: Tuple[int, ...] = (4, 16)
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -115,7 +137,7 @@ class StageIIResult(NamedTuple):
     extra: jnp.ndarray         # (F, E) dmpls or expressions (E may be 0)
     markers_sim: jnp.ndarray   # (F, M, 3)
     data_err: jnp.ndarray      # (F,) mean distance over observed markers (m)
-    iterations: jnp.ndarray    # (F,) iterations of the final solve
+    iterations: jnp.ndarray    # (F,) iterations of the final (polish) solve
 
 
 def _canonical_verts(model: SurfaceModel, betas: jnp.ndarray) -> jnp.ndarray:
@@ -165,7 +187,7 @@ def prepare_stageii_problem(model: SurfaceModel,
 
 
 # ---------------------------------------------------------------------------
-# residual assembly
+# residual / system assembly
 # ---------------------------------------------------------------------------
 
 def _num_extra(model: SurfaceModel, opts: StageIIOptions) -> int:
@@ -210,19 +232,32 @@ def simulate_markers(prob: StageIIProblem, opts: StageIIOptions,
     return reconstruct_markers(verts, prob.indices, prob.coeffs)
 
 
-def _as_prior_fn(prior, model_type: str):
-    """Normalize a prior spec into pose_body -> residual rows.
+class _TermSpec(NamedTuple):
+    """Static index/weight tables shared by residual, cost and system."""
+    body_ids: Optional[np.ndarray]     # x-indices of the prior's pose slice
+    finger_ids: Optional[np.ndarray]   # x-indices of the hand-PCA tail
+    face_ids: Optional[np.ndarray]     # x-indices of the jaw slice
+    pose_sl: slice                     # x-slice of the full pose vector
+    extra_sl: slice                    # x-slice of the extra (dmpl/expr) tail
 
-    Accepts a MaxMixturePrior (SMPL families / dog GMM), a callable (e.g. the
-    horse Mahalanobis), or None. The horse's extra joint-angle penalty
-    (chmosh.py:356-358, x2 weight) is appended for animal_horse callables
-    built by `pipeline.head`.
-    """
-    if prior is None:
-        return None
-    if isinstance(prior, MaxMixturePrior):
-        return lambda pose_body: gmm_prior_residual(prior, pose_body)
-    return prior
+
+def _term_spec(prob: StageIIProblem, opts: StageIIOptions,
+               model_type: str) -> _TermSpec:
+    model = prob.sub_model
+    info = MODEL_TYPE_INFO[model_type]
+    parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
+    P = model.pose_dof
+    # prior acts on the full (toes included) body slice, chmosh.py:614
+    prior_pose = [i for i in pose_part_ids(model_type, optimize_toes=True)["body"]
+                  if i >= 3]
+    body_ids = np.asarray([3 + i for i in prior_pose], np.int64) if prior_pose else None
+    finger_ids = (np.arange(3 + info.body_pose_dof, 3 + P)
+                  if (opts.optimize_fingers and info.has_hands) else None)
+    face_ids = (np.asarray([3 + i for i in parts["face"]], np.int64)
+                if (opts.optimize_face and parts["face"]) else None)
+    return _TermSpec(body_ids=body_ids, finger_ids=finger_ids,
+                     face_ids=face_ids, pose_sl=slice(3, 3 + P),
+                     extra_sl=slice(3 + P, None))
 
 
 def make_stageii_residual(prob: StageIIProblem,
@@ -231,25 +266,16 @@ def make_stageii_residual(prob: StageIIProblem,
                           model_type: str):
     """Build the per-frame residual fn r(x, aux) -> (R,).
 
-    `prior` is a MaxMixturePrior, a callable pose_body -> residual rows, or
-    None.
+    The least-squares rows whose sum-of-squares equals the system cost — kept
+    for the generic-solver path, cross-validation tests and profiling.
 
     aux leaves (per frame):
-      markers (M, 3), mask (M,), wt_data (), anneal (),
-      velo_anchor (D,), velo_on (), extra_anchor (E,), extra_on ()
+      markers (M, 3), mask (M,), wt_data (), anneal (), wt_pose_scale (),
+      velo_anchor (P,), velo_on (), extra_anchor (E,), extra_on ()
     """
-    prior_fn = _as_prior_fn(prior, model_type)
-    info = MODEL_TYPE_INFO[model_type]
-    parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
-    body_ids = jnp.asarray(
-        [i for i in pose_part_ids(model_type, optimize_toes=True)["body"] if i >= 3],
-        jnp.int32) if parts["body"] else None
-    # prior acts on the full (toes included) body slice, chmosh.py:614
-    face_ids = jnp.asarray(parts["face"], jnp.int32) if parts["face"] else None
-    pose_dof = None  # resolved at call time from prob
-
+    prior_n = prior
+    spec = _term_spec(prob, opts, model_type)
     wt = opts.wt
-    M = prob.num_markers
 
     def residual(x: jnp.ndarray, aux) -> jnp.ndarray:
         model = prob.sub_model
@@ -260,16 +286,21 @@ def make_stageii_residual(prob: StageIIProblem,
         rdata = (sim - aux["markers"]) * aux["mask"][:, None]
         terms.append(rdata.reshape(-1) * aux["wt_data"])
 
-        if prior_fn is not None and body_ids is not None:
-            rp = prior_fn(pose[body_ids])
-            terms.append(rp * (wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]))
+        if prior_n is not None and spec.body_ids is not None:
+            w = wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]
+            xb = x[jnp.asarray(spec.body_ids)]
+            if isinstance(prior_n, MaxMixturePrior):
+                terms.append(gmm_prior_residual(prior_n, xb) * w)
+            else:
+                terms.append(prior_n(xb) * w)
 
-        if opts.optimize_fingers and info.has_hands:
-            fingers = pose[info.body_pose_dof:]
-            terms.append(fingers * (wt("poseH") * aux["anneal"]))
+        if spec.finger_ids is not None:
+            terms.append(x[jnp.asarray(spec.finger_ids)]
+                         * (wt("poseH") * aux["anneal"]))
 
-        if opts.optimize_face and face_ids is not None:
-            terms.append(pose[face_ids] * (wt("poseF") * aux["anneal"]))
+        if spec.face_ids is not None:
+            terms.append(x[jnp.asarray(spec.face_ids)]
+                         * (wt("poseF") * aux["anneal"]))
             terms.append(extra * wt("expr"))
 
         if opts.optimize_dynamics:
@@ -282,6 +313,217 @@ def make_stageii_residual(prob: StageIIProblem,
         return jnp.concatenate(terms)
 
     return residual
+
+
+def make_stageii_system(prob: StageIIProblem,
+                        opts: StageIIOptions,
+                        prior,
+                        model_type: str) -> GNSystem:
+    """Direct Gauss-Newton system assembly: (x, aux) -> (f, g, B).
+
+    Produces exactly the cost/gradient/Hessian of `make_stageii_residual`'s
+    rows (validated in tests/test_stageii_system.py) without autodiff or row
+    stacking:
+
+      * marker data rows: closed-form LBS Jacobian (ops/lbs_jacobian.py);
+      * GMM max-mixture prior: the selected component's quadratic form
+        0.5 L_k L_kᵀ added to B/g analytically (gmm_prior_ch.py:69-72
+        expressed as its normal-equations contribution);
+      * callable priors (horse): forward-mode J of a pose-only function;
+      * fingers/face/expr/dmpl/velocity regularizers: diagonal updates.
+
+    The extra (dmpl/expression) columns of the data block go through a
+    forward-mode pass over the E extra dims only (E <= 10).
+    """
+    prior_n = prior
+    spec = _term_spec(prob, opts, model_type)
+    model = prob.sub_model
+    P = model.pose_dof
+    E = _num_extra(model, opts)
+    D = 3 + P + E
+    wt = opts.wt
+
+    is_gmm = isinstance(prior_n, MaxMixturePrior)
+    if is_gmm:
+        # per-component precision quadratic 0.5 L Lᵀ (the Jᵀ J of the
+        # whitened rows) — constant, computed once at build time
+        PP = 0.5 * jnp.einsum("kde,kfe->kdf", prior_n.chols, prior_n.chols)
+    prior_jac = None
+    if prior_n is not None and not is_gmm:
+        prior_jac = jax.jacfwd(prior_n)
+
+    # TPU scatters serialize — all index updates below must be static basic
+    # slices (lowered to dynamic-update-slice) or dense matmuls. Detect at
+    # build time whether the prior's pose slice is contiguous (it is for all
+    # SMPL families and the horse; the dog's 31-joint subset is not).
+    def _contig(ids):
+        if ids is None or len(ids) == 0:
+            return None
+        ids = np.asarray(ids)
+        return (int(ids[0]), int(ids[-1]) + 1) if (
+            np.all(np.diff(ids) == 1)) else None
+
+    body_rng = _contig(spec.body_ids)
+    if spec.body_ids is not None and body_rng is None:
+        # dense 0/1 selection matrix: xb = Msel @ x, block-add via matmuls
+        Msel = np.zeros((len(spec.body_ids), D), np.float32)
+        Msel[np.arange(len(spec.body_ids)), spec.body_ids] = 1.0
+        Msel = jnp.asarray(Msel)
+    fing_rng = _contig(spec.finger_ids)
+    face_rng = _contig(spec.face_ids)
+
+    def _data_jac(x):
+        trans, pose, extra = _split_x(x, P)
+        betas = _betas_for_lbs(prob, model, opts, extra)
+        verts, Jv = lbs_verts_and_jacobian(model, pose, betas, trans)
+        sim, Jm = markers_and_jacobian(verts, Jv, prob.indices, prob.coeffs)
+        if E:
+            def sim_extra(e):
+                return simulate_markers(
+                    prob, opts, jnp.concatenate([trans, pose, e]))
+            Je = jax.jacfwd(sim_extra)(extra)          # (M, 3, E)
+            Jm = jnp.concatenate([Jm, Je], axis=-1)
+        return sim, Jm                                  # (M,3), (M,3,D)
+
+    def _quad_terms(x, aux, g, B, f):
+        """All non-data terms, accumulated analytically.
+
+        Diagonal contributions collect into one (D,) vector added to B's
+        diagonal at the end; gradient updates are static-slice adds; the
+        prior block is a static-slice block add (or two small matmuls for
+        the dog's non-contiguous joint subset) — no scatter ops anywhere.
+        """
+        pose = x[spec.pose_sl]
+        extra = x[spec.extra_sl]
+        dvec = jnp.zeros(D, x.dtype)
+
+        if prior_n is not None and spec.body_ids is not None:
+            w = wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]
+            w2 = w * w
+            xb = (x[body_rng[0]:body_rng[1]] if body_rng is not None
+                  else Msel @ x)
+            if is_gmm:
+                xs = jax.lax.stop_gradient(xb)
+                diff_all = xs[None, :] - prior_n.means
+                r_all = jnp.einsum("kd,kde->ke", diff_all, prior_n.chols)
+                energies = (0.5 * jnp.sum(r_all * r_all, axis=-1)
+                            + prior_n.sqrt_neg_log_w ** 2)
+                k = jnp.argmin(energies)
+                q = xb - prior_n.means[k]
+                PPk = PP[k]
+                gq = PPk @ q
+                f = f + w2 * (q @ gq + prior_n.sqrt_neg_log_w[k] ** 2)
+                gb, Bb = w2 * gq, w2 * PPk
+            else:
+                rp = prior_n(xb) * w
+                Jp = prior_jac(xb) * w
+                f = f + rp @ rp
+                gb, Bb = Jp.T @ rp, Jp.T @ Jp
+            if body_rng is not None:
+                s, e = body_rng
+                g = g.at[s:e].add(gb)
+                B = B.at[s:e, s:e].add(Bb)
+            else:
+                g = g + Msel.T @ gb
+                B = B + Msel.T @ (Bb @ Msel)
+
+        def diag_rng(f, g, dvec, s, e, vals, w):
+            w2 = w * w
+            f = f + w2 * (vals @ vals)
+            g = g.at[s:e].add(w2 * vals)
+            dvec = dvec.at[s:e].add(w2)
+            return f, g, dvec
+
+        if fing_rng is not None:
+            s, e = fing_rng
+            f, g, dvec = diag_rng(f, g, dvec, s, e, x[s:e],
+                                  wt("poseH") * aux["anneal"])
+        if face_rng is not None:
+            s, e = face_rng
+            f, g, dvec = diag_rng(f, g, dvec, s, e, x[s:e],
+                                  wt("poseF") * aux["anneal"])
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D, extra,
+                                  jnp.float32(wt("expr")))
+        if opts.optimize_dynamics and E:
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D, extra,
+                                  jnp.float32(wt("dmpl")))
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D,
+                                  extra - aux["extra_anchor"],
+                                  6.0 * aux["extra_on"])
+
+        f, g, dvec = diag_rng(f, g, dvec, 3, 3 + P,
+                              pose - aux["velo_anchor"],
+                              wt("velo") * aux["velo_on"])
+        B = B + jnp.eye(D, dtype=x.dtype) * dvec
+        return f, g, B
+
+    def system_fn(x, aux):
+        sim, Jm = _data_jac(x)
+        wrow = aux["mask"] * aux["wt_data"]                    # (M,)
+        rd = (sim - aux["markers"]) * wrow[:, None]            # (M, 3)
+        Jd = Jm * wrow[:, None, None]                          # (M, 3, D)
+        with jax.default_matmul_precision("high"):
+            f = jnp.sum(rd * rd)
+            g = jnp.einsum("mc,mcd->d", rd, Jd)
+            B = jnp.einsum("mcd,mce->de", Jd, Jd)
+        return _quad_terms(x, aux, g, B, f)
+
+    def cost_fn(x, aux):
+        sim = simulate_markers(prob, opts, x)
+        wrow = aux["mask"] * aux["wt_data"]
+        rd = (sim - aux["markers"]) * wrow[:, None]
+        f = jnp.sum(rd * rd)
+        D_ = D
+        zg = jnp.zeros(D_, x.dtype)
+        zB = jnp.zeros((D_, D_), x.dtype)
+        f, _, _ = _quad_terms(x, aux, zg, zB, f)
+        return f
+
+    return GNSystem(system_fn, cost_fn)
+
+
+def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,
+                          prior, model_type: str):
+    """Per-term sum-of-squares breakdown fn (x, aux) -> dict[str, ()].
+
+    The reference logs per-objective loss before/after every solve
+    (chmosh.py:408-417, 662-707); this is the batched equivalent, consumed by
+    the fused solver's telemetry scan.
+    """
+    prior_n = prior
+    spec = _term_spec(prob, opts, model_type)
+    wt = opts.wt
+
+    def energies(x, aux):
+        pose = x[spec.pose_sl]
+        extra = x[spec.extra_sl]
+        sim = simulate_markers(prob, opts, x)
+        rdata = (sim - aux["markers"]) * (aux["mask"] * aux["wt_data"])[:, None]
+        out = {"data": jnp.sum(rdata * rdata)}
+        if prior_n is not None and spec.body_ids is not None:
+            w = wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]
+            xb = x[jnp.asarray(spec.body_ids)]
+            rp = (gmm_prior_residual(prior_n, xb)
+                  if isinstance(prior_n, MaxMixturePrior) else prior_n(xb)) * w
+            out["poseB"] = rp @ rp
+        if spec.finger_ids is not None:
+            v = x[jnp.asarray(spec.finger_ids)] * (wt("poseH") * aux["anneal"])
+            out["poseH"] = v @ v
+        if spec.face_ids is not None:
+            v = x[jnp.asarray(spec.face_ids)] * (wt("poseF") * aux["anneal"])
+            out["poseF"] = v @ v
+            ve = extra * wt("expr")
+            out["expr"] = ve @ ve
+        if opts.optimize_dynamics and extra.shape[0]:
+            ve = extra * wt("dmpl")
+            out["dmpl"] = ve @ ve
+            va_ = (extra - aux["extra_anchor"]) * (6.0 * aux["extra_on"])
+            out["dmpl_anchor"] = va_ @ va_
+        v = (pose - aux["velo_anchor"]) * (wt("velo") * aux["velo_on"])
+        out["velo"] = v @ v
+        return out
+
+    return energies
 
 
 def _param_masks(model: SurfaceModel, opts: StageIIOptions, model_type: str):
@@ -318,7 +560,6 @@ def rigid_init(prob: StageIIProblem, opts: StageIIOptions,
     rigid_transformations.py:72-83), corrected for rotation about the root
     joint rather than the origin. Returns packed x0 (F, D)."""
     model = prob.sub_model
-    F = markers_obs.shape[0]
     P = model.pose_dof
     E = _num_extra(model, opts)
 
@@ -339,21 +580,156 @@ def rigid_init(prob: StageIIProblem, opts: StageIIOptions,
     return jax.vmap(one)(markers_obs, mask)
 
 
+def _interp_x(xa: jnp.ndarray, seg_lo: jnp.ndarray, seg_hi: jnp.ndarray,
+              alpha: jnp.ndarray, model: SurfaceModel) -> jnp.ndarray:
+    """Rotation-aware interpolation of packed params between anchor solves.
+
+    Joint axis-angles (root + articulated body) interpolate by per-joint
+    quaternion slerp — linear axis-angle blending lands in the wrong basin
+    for large inter-anchor rotations (fast spins at anchor stride 8).
+    Hand-PCA coefficients, translation and extra dims are linear.
+    """
+    lo = xa[seg_lo]                                   # (F, D)
+    hi = xa[seg_hi]
+    a = alpha[:, None]
+    lin = (1.0 - a) * lo + a * hi
+    bd = model.info.body_pose_dof                     # aa dims in pose vector
+    n_j = bd // 3
+    lo_aa = lo[:, 3:3 + bd].reshape(-1, n_j, 3)
+    hi_aa = hi[:, 3:3 + bd].reshape(-1, n_j, 3)
+    aa = slerp_axis_angle(lo_aa, hi_aa, alpha[:, None, None])
+    return lin.at[:, 3:3 + bd].set(aa.reshape(-1, bd))
+
+
+def _hashable_opts(opts: StageIIOptions):
+    w = tuple(sorted((opts.weights or {}).items()))
+    return (dataclasses.replace(opts, weights=None), w)
+
+
+# jitted per-phase step functions, cached across solve calls / subjects.
+# Key: (hashable opts, model_type, callable-prior identity, jit flag).
+# One giant fused program for the whole schedule compiles (we tried) but
+# XLA's scheduling degrades badly at that size (~15x runtime regression);
+# per-phase programs at ~27 ms dispatch each are the sweet spot.
+_PHASE_FNS_CACHE: Dict = {}
+
+
+def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: bool):
+    key = (_hashable_opts(opts), model_type, prior_call, jit_solve)
+    if key in _PHASE_FNS_CACHE:
+        return _PHASE_FNS_CACHE[key]
+
+    wt = opts.wt
+    dl_opts = DoglegOptions(maxiter=opts.maxiter, delta_0=0.5,
+                            linear_solver=opts.linear_solver,
+                            cg_iters=opts.cg_iters,
+                            jac_precision=opts.jac_precision)
+    # the polish phase chases e_3 = 1e-4 improvements — inexact CG directions
+    # stall there (accepted steps keep clearing the tiny threshold); the
+    # bulk phases tolerate inexactness, the polish gets the exact solve
+    dl_polish = dataclasses.replace(dl_opts, linear_solver="cholesky")
+
+    def _system(prob, prior):
+        return make_stageii_system(prob, opts, prior_call or prior, model_type)
+
+    def _velo_aux(prob, x):
+        P = prob.sub_model.pose_dof
+        F = x.shape[0]
+        pose = x[:, 3:3 + P]
+        extra = x[:, 3 + P:]
+        velo_anchor = 2.0 * jnp.roll(pose, 1, 0) - jnp.roll(pose, 2, 0)
+        velo_on = (jnp.arange(F) >= 2).astype(jnp.float32)
+        extra_anchor = jnp.zeros_like(extra)
+        extra_on = jnp.zeros((F,), jnp.float32)
+        if opts.optimize_dynamics and extra.shape[1]:
+            extra_anchor = 2.0 * jnp.roll(extra, 1, 0) - jnp.roll(extra, 2, 0)
+            extra_on = velo_on
+        return (velo_anchor * velo_on[:, None], velo_on,
+                extra_anchor * extra_on[:, None], extra_on)
+
+    def _mk_step(dl, use_velo):
+        def step(prob, prior, x, aux, pmask, e3):
+            system = _system(prob, prior)
+            energies_fn = stageii_term_energies(prob, opts,
+                                                prior_call or prior, model_type)
+            if use_velo:
+                va, von, ea_, eon = _velo_aux(prob, x)
+                aux = dict(aux, velo_anchor=va, velo_on=von,
+                           extra_anchor=ea_, extra_on=eon)
+
+            def mean_en(xx):
+                e = jax.vmap(energies_fn)(xx, aux)
+                return jnp.stack([jnp.mean(v) for v in e.values()])
+
+            eb = mean_en(x)
+            r = batched_system_solve(system, x, aux, dl, param_mask=pmask,
+                                     e_3=e3,
+                                     compact_buckets=opts.compact_buckets)
+            return r.x, r.iterations, eb, mean_en(r.x)
+        return jax.jit(step) if jit_solve else step
+
+    def init_fn(prob, obs, maskf):
+        return rigid_init(prob, opts, obs, maskf)
+
+    def interp_fn(prob, xa, seg_lo, seg_hi, alpha):
+        return _interp_x(xa, seg_lo, seg_hi, alpha, prob.sub_model)
+
+    def finalize_fn(prob, x, iters, obs, maskf):
+        return _finalize(prob, opts, x, iters, obs, maskf)
+
+    jit_ = jax.jit if jit_solve else (lambda f: f)
+    fns = {
+        "step": _mk_step(dl_opts, False),
+        "step_velo": _mk_step(dl_opts, True),
+        "polish_velo": _mk_step(dl_polish, True),
+        "polish": _mk_step(dl_polish, False),
+        "init": jit_(init_fn),
+        "interp": jit_(interp_fn),
+        "finalize": jit_(finalize_fn),
+    }
+    _PHASE_FNS_CACHE[key] = fns
+    return fns
+
+
+class StageIIReport(NamedTuple):
+    """Per-phase telemetry (reference-style per-objective logging,
+    chmosh.py:408-417, 662-707)."""
+    phase_names: Tuple[str, ...]
+    term_names: Tuple[str, ...]
+    energies_before: np.ndarray   # (n_phases, n_terms) mean over frames
+    energies_after: np.ndarray    # (n_phases, n_terms)
+    iterations: np.ndarray        # (n_phases,) mean dogleg iterations/frame
+
+    def format_table(self) -> str:
+        hdr = "phase        iters  " + "  ".join(
+            f"{t:>10s}" for t in self.term_names)
+        rows = [hdr]
+        for i, name in enumerate(self.phase_names):
+            vals = "  ".join(f"{self.energies_after[i, j]:10.3e}"
+                             for j in range(len(self.term_names)))
+            rows.append(f"{name:12s} {self.iterations[i]:5.1f}  {vals}")
+        return "\n".join(rows)
+
+
 def mosh_stageii_solve(prob: StageIIProblem,
                        opts: StageIIOptions,
                        markers_obs: np.ndarray,
                        mask: np.ndarray,
                        prior: Optional[MaxMixturePrior] = None,
                        model_type: Optional[str] = None,
-                       jit_step: bool = True) -> StageIIResult:
+                       jit_solve: bool = True,
+                       return_report: bool = False):
     """Solve all frames. markers_obs (F, M, 3) in meters, mask (F, M) bool.
 
-    All seven solve phases (3 annealed + step-1 + step-2 + smoothing sweeps)
-    share ONE compiled batched-dogleg step — phase differences (prior scale,
-    velocity anchors, parameter mask, stopping tolerance) are traced
-    arguments, so the solver compiles once regardless of schedule length.
-    Set `jit_step=False` when tracing this whole function inside an outer
-    jit/pjit (the step is then inlined by the outer trace).
+    The schedule runs as a sequence of jitted per-phase solves (cached across
+    calls and subjects); arrays stay on device between phases, straggler
+    compaction happens in-graph inside each phase. Multi-chip: pass inputs
+    with a frame-axis `NamedSharding` (see parallel/sharding.py) — the same
+    phase programs then run SPMD with XLA-inserted collectives, and the
+    in-graph compaction argsort doubles as cross-chip load balancing.
+
+    Returns a StageIIResult, or (StageIIResult, StageIIReport) when
+    `return_report=True`.
     """
     model = prob.sub_model
     model_type = model_type or model.model_type
@@ -362,154 +738,143 @@ def mosh_stageii_solve(prob: StageIIProblem,
     F, M = maskf.shape
     P = model.pose_dof
     E = _num_extra(model, opts)
-    D = 3 + P + E
-
-    residual = make_stageii_residual(prob, opts, prior, model_type)
-    step1_mask, step2_mask = _param_masks(model, opts, model_type)
     wt = opts.wt
+
+    prior_call = None
+    prior_arrays = prior
+    if prior is not None and not isinstance(prior, MaxMixturePrior):
+        prior_call = prior        # static closure (horse etc.)
+        prior_arrays = None
+    fns = _phase_fns(opts, model_type, prior_call, jit_solve)
 
     n_obs = jnp.sum(maskf, axis=1)                            # (F,)
     wt_data = wt("data") * NUM_TRAIN_MARKERS / jnp.maximum(n_obs, 1.0)
     missing_frac = (M - n_obs) / M
     anneal = 1.0 + missing_frac * wt("annealing")             # chmosh.py:596-609
 
-    def aux_for(wt_pose_scale, obs=markers_obs, msk=None, wdata=None,
-                ann=None, velo_anchor=None, velo_on=None,
-                extra_anchor=None, extra_on=None):
-        msk = maskf if msk is None else msk
-        wdata = wt_data if wdata is None else wdata
-        ann = anneal if ann is None else ann
-        n = obs.shape[0]
+    def aux_for(n, obs, msk, wdata, ann, scale=1.0):
         z = jnp.zeros((n,), jnp.float32)
         return {
-            "markers": obs,
-            "mask": msk,
-            "wt_data": wdata,
-            "anneal": ann,
-            "wt_pose_scale": jnp.full((n,), wt_pose_scale, jnp.float32),
-            "velo_anchor": jnp.zeros((n, P), jnp.float32) if velo_anchor is None else velo_anchor,
-            "velo_on": z if velo_on is None else velo_on,
-            "extra_anchor": jnp.zeros((n, E), jnp.float32) if extra_anchor is None else extra_anchor,
-            "extra_on": z if extra_on is None else extra_on,
+            "markers": obs, "mask": msk, "wt_data": wdata, "anneal": ann,
+            "wt_pose_scale": jnp.full((n,), scale, jnp.float32),
+            "velo_anchor": jnp.zeros((n, P), jnp.float32),
+            "velo_on": z,
+            "extra_anchor": jnp.zeros((n, E), jnp.float32),
+            "extra_on": z,
         }
 
-    # one compiled solver step reused by every phase: x, aux, mask, e_3 are
-    # all traced arguments
-    dl_opts = DoglegOptions(maxiter=opts.maxiter, delta_0=0.5,
-                            linear_solver=opts.linear_solver,
-                            ns_steps=opts.ns_steps,
-                            jac_precision=opts.jac_precision)
-    dl_short = dataclasses.replace(
-        dl_opts, maxiter=min(opts.compaction_iters, opts.maxiter))
+    reports = []
 
-    def _mkstep(d):
-        def step(x, aux, pmask, e3):
-            r = batched_dogleg_solve(residual, x, aux, d,
-                                     param_mask=pmask, e_3=e3)
-            return r.x, r.converged
-        return jax.jit(step) if jit_step else step
+    def run(step_key, x, aux, pmask, e3):
+        x, its, eb, ea = fns[step_key](prob, prior_arrays, x, aux,
+                                       pmask, jnp.float32(e3))
+        reports.append((eb, ea, its))
+        return x, its
 
-    step_full = _mkstep(dl_opts)
-    step_short = _mkstep(dl_short)
+    step1_mask, step2_mask = _param_masks(model, opts, model_type)
+    aux_full = aux_for(F, markers_obs, maskf, wt_data, anneal)
 
-    compaction = (jit_step and opts.compaction_iters > 0
-                  and opts.compaction_iters < opts.maxiter and F > 64)
-
-    def step(x, aux, pmask, e3):
-        """One phase: short budget for everyone, full budget for stragglers
-        gathered into padded buckets (host-side gather; shapes bucketized so
-        at most a couple of extra compilations exist)."""
-        if not compaction:
-            return step_full(x, aux, pmask, e3)[0]
-        x, conv = step_short(x, aux, pmask, e3)
-        bad = np.where(~np.asarray(conv))[0]
-        if bad.size == 0:
-            return x
-        bucket = min(F, opts.compaction_bucket *
-                     max(1, int(np.ceil(bad.size / opts.compaction_bucket))))
-        ids = np.zeros(bucket, np.int64)
-        ids[: bad.size] = bad                     # pad with frame 0 (redundant
-        idx = jnp.asarray(ids)                    # work, discarded on scatter)
-        aux_sub = jax.tree.map(lambda a: a[idx], aux)
-        x_sub, _ = step_full(x[idx], aux_sub, pmask, e3)
-        return x.at[idx[: bad.size]].set(x_sub[: bad.size])
-
-    def step_polish(x, aux, pmask, e3):
-        return step(x, aux, pmask, e3)
-
-    # ---- pass A: hierarchical anchor solve + interpolated warm starts ------
-    # The reference warm-starts each frame from its predecessor; the batched
-    # equivalent: run the expensive first-frame schedule only on every S-th
-    # frame, initialize the rest by interpolation between anchors, then give
-    # all frames the (now cheap, warm) step-1/step-2 solves.
+    # ---- pass A: anchor solves + slerped warm starts ------------------------
     S = max(int(opts.anchor_stride), 1)
     if S > 1 and F > S:
         anchor_ids = np.arange(0, F, S)
         if anchor_ids[-1] != F - 1:
             anchor_ids = np.append(anchor_ids, F - 1)
         a = jnp.asarray(anchor_ids)
+        nA = len(anchor_ids)
         obs_a, msk_a = markers_obs[a], maskf[a]
-        aux_anchor = dict(obs=obs_a, msk=msk_a, wdata=wt_data[a], ann=anneal[a])
+        aux_a = lambda s: aux_for(nA, obs_a, msk_a, wt_data[a], anneal[a], s)
 
-        xa = rigid_init(prob, opts, obs_a, msk_a)
+        xa = fns["init"](prob, obs_a, msk_a)
         for scale in (10.0, 5.0, 1.0):  # first-frame schedule, chmosh.py:637
-            xa = step(xa, aux_for(scale, **aux_anchor), step1_mask,
-                      jnp.float32(1e-3))
-        xa = step(xa, aux_for(1.0, **aux_anchor), step2_mask, jnp.float32(1e-2))
+            xa, _ = run("step", xa, aux_a(scale), step1_mask, 1e-3)
+        xa, _ = run("step", xa, aux_a(1.0), step2_mask, 1e-2)
 
-        # piecewise-linear interpolation between consecutive anchors
+        # rotation-aware interpolation between consecutive anchors
         seg = np.minimum(np.searchsorted(anchor_ids, np.arange(F), "right") - 1,
                          len(anchor_ids) - 2)
         lo = anchor_ids[seg]
         hi = anchor_ids[seg + 1]
         alpha = jnp.asarray(((np.arange(F) - lo) / np.maximum(hi - lo, 1))
-                            .astype(np.float32))[:, None]
-        x = (1.0 - alpha) * xa[jnp.asarray(seg)] + alpha * xa[jnp.asarray(seg + 1)]
+                            .astype(np.float32))
+        x = fns["interp"](prob, xa, jnp.asarray(seg), jnp.asarray(seg + 1),
+                          alpha)
     else:
-        x = rigid_init(prob, opts, markers_obs, maskf)
+        x = fns["init"](prob, markers_obs, maskf)
         for scale in (10.0, 5.0, 1.0):
-            x = step(x, aux_for(scale), step1_mask, jnp.float32(1e-3))
+            x, _ = run("step", x, aux_for(F, markers_obs, maskf, wt_data,
+                                          anneal, scale), step1_mask, 1e-3)
+        reports.append(reports[-1])  # keep phase slots aligned (no anchor pass)
 
     # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)
-    x = step(x, aux_for(1.0), step1_mask, jnp.float32(1e-2))
+    x, _ = run("step", x, aux_full, step1_mask, 1e-2)
     # step 2: full pose (chmosh.py:703-705)
-    x = step(x, aux_for(1.0), step2_mask, jnp.float32(1e-2))
+    x, _ = run("step", x, aux_full, step2_mask, 1e-2)
 
     # ---- pass B: Jacobi smoothing sweeps (velocity + dmpl extrapolation) ---
+    # the sequential pose_t ~ 2 pose_{t-1} - pose_{t-2} coupling
+    # (chmosh.py:624-626) re-created as batched re-solves against anchors
+    # computed in-graph from the previous sweep's solutions
+    sweep_reports = []
     for _ in range(opts.smoothing_sweeps):
-        pose = x[:, 3:3 + P]
-        extra = x[:, 3 + P:]
-        velo_anchor = jnp.zeros_like(pose).at[2:].set(2.0 * pose[1:-1] - pose[:-2])
-        velo_on = jnp.zeros((F,), jnp.float32).at[2:].set(1.0)
-        extra_anchor = jnp.zeros_like(extra)
-        extra_on = jnp.zeros((F,), jnp.float32)
-        if E and opts.optimize_dynamics:
-            extra_anchor = extra_anchor.at[2:].set(2.0 * extra[1:-1] - extra[:-2])
-            extra_on = extra_on.at[2:].set(1.0)
-        x = step(x, aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on,
-                            extra_anchor=extra_anchor, extra_on=extra_on),
-                 step2_mask, jnp.float32(1e-2))
+        x, _ = run("step_velo", x, aux_full, step2_mask, 1e-2)
+        sweep_reports.append(reports.pop())
+    # one "sweeps" phase slot: energies before sweep 1, after the last sweep
+    if sweep_reports:
+        reports.append((sweep_reports[0][0], sweep_reports[-1][1],
+                        sweep_reports[-1][2]))
+    else:
+        reports.append(reports[-1])
 
     # polish: one tight full-pose solve from the warm state, keeping the
     # velocity anchors so the smoothness coupling survives the final solve
+    iters = jnp.zeros((F,), jnp.int32)
     if opts.e_3_polish is not None:
-        pose = x[:, 3:3 + P]
-        velo_anchor = jnp.zeros_like(pose)
-        velo_on = jnp.zeros((F,), jnp.float32)
-        if opts.smoothing_sweeps > 0 and F > 2:
-            velo_anchor = velo_anchor.at[2:].set(2.0 * pose[1:-1] - pose[:-2])
-            velo_on = velo_on.at[2:].set(1.0)
-        x = step_polish(x, aux_for(1.0, velo_anchor=velo_anchor, velo_on=velo_on),
-                        step2_mask, jnp.float32(opts.e_3_polish))
+        use_velo = opts.smoothing_sweeps > 0 and F > 2
+        x, iters = run("polish_velo" if use_velo else "polish",
+                       x, aux_full, step2_mask, opts.e_3_polish)
+    else:
+        reports.append(reports[-1])
 
-    # ---- outputs ------------------------------------------------------------
+    result = fns["finalize"](prob, x, iters, markers_obs, maskf)
+    if not return_report:
+        return result
+    report = StageIIReport(
+        phase_names=STAGEII_PHASE_NAMES,
+        term_names=report_arrays_spec(prob, opts, prior, model_type),
+        energies_before=np.stack([np.asarray(r[0]) for r in reports]),
+        energies_after=np.stack([np.asarray(r[1]) for r in reports]),
+        iterations=np.asarray([float(np.mean(np.asarray(r[2])))
+                               for r in reports]))
+    return result, report
+
+
+def report_arrays_spec(prob, opts, prior, model_type) -> Tuple[str, ...]:
+    """Static term-name ordering of the telemetry arrays."""
+    en = stageii_term_energies(prob, opts, prior, model_type)
+    P = prob.sub_model.pose_dof
+    E = _num_extra(prob.sub_model, opts)
+    M = prob.num_markers
+    x = jnp.zeros(3 + P + E, jnp.float32)
+    aux = {"markers": jnp.zeros((M, 3)), "mask": jnp.zeros((M,)),
+           "wt_data": jnp.zeros(()), "anneal": jnp.zeros(()),
+           "wt_pose_scale": jnp.zeros(()),
+           "velo_anchor": jnp.zeros((P,)), "velo_on": jnp.zeros(()),
+           "extra_anchor": jnp.zeros((E,)), "extra_on": jnp.zeros(())}
+    return tuple(jax.eval_shape(en, x, aux).keys())
+
+
+def _finalize(prob, opts, x, iters, markers_obs, maskf) -> StageIIResult:
+    model = prob.sub_model
+    P = model.pose_dof
     trans = x[:, :3]
     pose = x[:, 3:3 + P]
     extra = x[:, 3 + P:]
     sim = jax.vmap(lambda xi: simulate_markers(prob, opts, xi))(x)
     fullpose = jax.vmap(lambda p: fullpose_from_pose(model, p))(pose)
     err = jnp.sqrt(jnp.sum((sim - markers_obs) ** 2, -1)) * maskf
+    n_obs = jnp.sum(maskf, axis=1)
     data_err = jnp.sum(err, -1) / jnp.maximum(n_obs, 1.0)
-    return StageIIResult(trans=trans, pose=pose, fullpose=fullpose, extra=extra,
-                         markers_sim=sim, data_err=data_err,
-                         iterations=jnp.zeros((F,), jnp.int32))
+    return StageIIResult(trans=trans, pose=pose, fullpose=fullpose,
+                         extra=extra, markers_sim=sim, data_err=data_err,
+                         iterations=iters)

@@ -137,6 +137,53 @@ class TestAnimalPriors:
         assert err_mm.mean() < 2.5
 
 
+    def test_dog_model_stageii_with_dog_prior(self, rng, tmp_path):
+        """End-to-end dog solve: animal_dog model + the 31-joint max-mixture
+        dog prior loaded through head._load_pose_prior's routing
+        (dog_body_prior.py:47-58 parity)."""
+        import pickle
+        from moshpp_tpu.priors.mahalanobis import DOG_POSE_IDS
+        from moshpp_tpu.pipeline.head import MoSh
+
+        m = make_synthetic_model("animal_dog", num_verts=400, seed=9)
+        M, F = 14, 4
+        vids = rng.choice(400, M, replace=False)
+        latents = np.asarray(m.v_template)[vids]
+        idx = select_frame_indices(jnp.asarray(m.v_template), jnp.asarray(latents))
+        coeffs = marker_coeffs(jnp.asarray(m.v_template), jnp.asarray(latents), idx)
+        poses = np.zeros((F, m.pose_dof), np.float32)
+        poses[:, DOG_POSE_IDS] = rng.normal(size=(F, len(DOG_POSE_IDS))).astype(np.float32) * 0.08
+        poses[:, :3] = rng.normal(size=(F, 3)) * 0.2
+        trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
+
+        def sim(p, t):
+            return reconstruct_markers(
+                lbs_forward(m, p, jnp.zeros(m.num_betas), t), idx, coeffs)
+
+        obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans)))
+
+        # write a reference-format dog prior pkl and load it via the head path
+        D = len(DOG_POSE_IDS)
+        covs = np.stack([np.eye(D) * 0.5 for _ in range(2)])
+        prior_fname = str(tmp_path / "dog_prior.pkl")
+        with open(prior_fname, "wb") as f:
+            pickle.dump({"gmm_means": np.zeros((2, D)), "gmm_covs": covs,
+                         "gmm_weights": np.asarray([0.6, 0.4])}, f)
+        head = MoSh.__new__(MoSh)
+        head.cfg = {"moshpp.pose_body_prior_fname": prior_fname}
+        prior = head._load_pose_prior("animal_dog")
+        from moshpp_tpu.priors.gmm import MaxMixturePrior
+        assert isinstance(prior, MaxMixturePrior) and prior.dim == D
+
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=0)
+        prob = prepare_stageii_problem(m, np.zeros(16, np.float32), latents,
+                                       opts=opts)
+        res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),
+                                 prior=prior, model_type="animal_dog")
+        err_mm = np.asarray(res.data_err) * 1000
+        assert err_mm.mean() < 2.5, f"dog solve err {err_mm.mean():.2f} mm"
+
+
 class TestHeadCorr:
     def test_stagei_accepts_head_corr(self, rng):
         from moshpp_tpu.pipeline.stagei import StageIOptions, mosh_stagei_solve

@@ -217,3 +217,33 @@ class TestRobustifiers:
         # small-x behavior: gmof(x) ~ sign(x)*|x| for |x| << sigma
         small = np.asarray(gmof(jnp.asarray([0.01]), sigma=2.0))
         np.testing.assert_allclose(small, [0.01], rtol=0.05, atol=1e-3)
+
+
+class TestSlerp:
+    def test_quat_roundtrip(self, rng):
+        from moshpp_tpu.ops.rodrigues import (axis_angle_to_quat,
+                                              quat_to_axis_angle)
+        aa = jnp.asarray(rng.normal(size=(20, 3)) * 1.2, jnp.float32)
+        back = np.asarray(quat_to_axis_angle(axis_angle_to_quat(aa)))
+        np.testing.assert_allclose(back, np.asarray(aa), atol=1e-5)
+
+    def test_slerp_endpoints_and_geodesic(self, rng):
+        from moshpp_tpu.ops.rodrigues import slerp_axis_angle, rodrigues
+        a = jnp.asarray(rng.normal(size=(5, 3)) * 0.8, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(5, 3)) * 0.8, jnp.float32)
+        np.testing.assert_allclose(np.asarray(slerp_axis_angle(a, b, 0.0)),
+                                   np.asarray(a), atol=1e-5)
+        # endpoint b: same rotation (possibly different aa representative)
+        Rb = np.asarray(rodrigues(b))
+        R1 = np.asarray(rodrigues(slerp_axis_angle(a, b, 1.0)))
+        np.testing.assert_allclose(R1, Rb, atol=1e-5)
+
+    def test_slerp_large_rotation_beats_lerp(self):
+        """170-degree z-rotation: slerp midpoint is the 85-degree rotation;
+        lerp of axis-angle through a flipped axis is badly wrong."""
+        from moshpp_tpu.ops.rodrigues import slerp_axis_angle, rodrigues
+        a = jnp.asarray([0.0, 0.0, 0.1], jnp.float32)
+        b = jnp.asarray([0.0, 0.0, 0.1 + np.deg2rad(170)], jnp.float32)
+        mid = slerp_axis_angle(a, b, 0.5)
+        expect = np.asarray([0.0, 0.0, 0.1 + np.deg2rad(85)], np.float32)
+        np.testing.assert_allclose(np.asarray(mid), expect, atol=1e-4)

@@ -135,3 +135,91 @@ class TestGMMPrior:
         # data term dominates: solution near target (prior shrinks it ~20%)
         assert np.linalg.norm(np.asarray(res.x) - np.asarray(target)) < 0.45
         assert float(res.cost) < float(jnp.sum(r(jnp.zeros(5)) ** 2))
+
+
+class TestPCGDirection:
+    def test_pcg_matches_cholesky_solution(self, rng):
+        """PCG-driven dogleg must reach the same optimum as the exact path."""
+        A = jnp.asarray(rng.normal(size=(60, 12)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(60,)), jnp.float32)
+
+        def r(x):
+            return A @ x - b
+
+        o_exact = dogleg_solve(r, jnp.zeros(12),
+                               DoglegOptions(maxiter=60, e_3=1e-10, delta_0=5.0))
+        o_pcg = dogleg_solve(r, jnp.zeros(12),
+                             DoglegOptions(maxiter=60, e_3=1e-10, delta_0=5.0,
+                                           linear_solver="pcg", cg_iters=24))
+        np.testing.assert_allclose(np.asarray(o_pcg.x), np.asarray(o_exact.x),
+                                   atol=1e-3)
+
+    def test_pcg_nonlinear(self):
+        def r(x):
+            return jnp.asarray([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+        res = dogleg_solve(r, jnp.asarray([-1.2, 1.0]),
+                           DoglegOptions(maxiter=200, e_3=1e-12, delta_0=0.5,
+                                         linear_solver="pcg", cg_iters=16))
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+    def test_pcg_respects_param_mask(self, rng):
+        A = jnp.asarray(rng.normal(size=(30, 5)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(30,)), jnp.float32)
+        mask = jnp.asarray([1.0, 0.0, 1.0, 0.0, 1.0])
+        res = dogleg_solve(lambda x: A @ x - b, jnp.zeros(5),
+                           DoglegOptions(maxiter=80, e_3=1e-10, delta_0=5.0,
+                                         linear_solver="pcg", cg_iters=20),
+                           param_mask=mask)
+        x = np.asarray(res.x)
+        assert x[1] == 0.0 and x[3] == 0.0
+        # solution of the reduced problem
+        Ar = np.asarray(A)[:, [0, 2, 4]]
+        xr, *_ = np.linalg.lstsq(Ar, np.asarray(b), rcond=None)
+        np.testing.assert_allclose(x[[0, 2, 4]], xr, atol=1e-3)
+
+
+class TestCompaction:
+    def test_compacted_matches_plain(self, rng):
+        """In-graph straggler compaction must not change results: problems
+        with very different iteration counts land on the same optima."""
+        from moshpp_tpu.solver.gauss_newton import (GNSystem,
+                                                    batched_system_solve,
+                                                    _residual_system)
+        N, P = 64, 4
+        targets = jnp.asarray(rng.normal(size=(N, P)), jnp.float32)
+        # mix of easy (linear) and hard (very nonlinear) problems
+        hard = jnp.asarray((np.arange(N) % 7 == 0).astype(np.float32))
+
+        def residual(x, aux):
+            t, h = aux
+            easy = x - t
+            curved = jnp.concatenate([10.0 * (x[1:] - x[:-1] ** 2),
+                                      (1.0 - x[:1])])
+            return easy + h * curved
+
+        sys = _residual_system(residual, "highest")
+        opts = DoglegOptions(maxiter=150, e_3=1e-10, delta_0=1.0)
+        aux = (targets, hard)
+        x0 = jnp.zeros((N, P))
+        plain = batched_system_solve(sys, x0, aux, opts, compact_buckets=())
+        comp = batched_system_solve(sys, x0, aux, opts, compact_buckets=(4, 16))
+        np.testing.assert_allclose(np.asarray(comp.x), np.asarray(plain.x),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(comp.cost),
+                                   np.asarray(plain.cost), atol=1e-5)
+
+    def test_compaction_under_jit(self, rng):
+        from moshpp_tpu.solver.gauss_newton import (batched_system_solve,
+                                                    _residual_system)
+        sys = _residual_system(lambda x, t: x - t, "highest")
+        targets = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+
+        @jax.jit
+        def run(t):
+            return batched_system_solve(sys, jnp.zeros((32, 3)), t,
+                                        DoglegOptions(maxiter=40),
+                                        compact_buckets=(4,))
+        res = run(targets)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(targets),
+                                   atol=1e-3)

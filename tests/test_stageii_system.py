@@ -1,0 +1,118 @@
+"""The direct Gauss-Newton system assembly (make_stageii_system) must agree
+exactly with the least-squares rows of make_stageii_residual: same cost,
+gradient Jᵀr, and Hessian JᵀJ — across model families, priors, and every
+optional term (fingers, face/expressions, dynamics, velocity anchors,
+missing markers)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models import make_synthetic_model, lbs_forward
+from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                             select_frame_indices)
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, make_stageii_residual,
+                                         make_stageii_system,
+                                         prepare_stageii_problem,
+                                         stageii_term_energies)
+from moshpp_tpu.priors import make_gmm_prior
+
+
+def _setup(model_type="smplh", opts=None, seed=3, markers=10, **mk):
+    rng = np.random.default_rng(seed)
+    model = make_synthetic_model(model_type, num_verts=300, seed=seed, **mk)
+    opts = opts or StageIIOptions()
+    betas = (rng.normal(size=16) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], markers, replace=False)
+    latents = can_v[vids] + vn[vids] * 0.0095
+    prob = prepare_stageii_problem(model, betas, latents, opts=opts)
+    P = prob.sub_model.pose_dof
+    from moshpp_tpu.pipeline.stageii import _num_extra
+    E = _num_extra(prob.sub_model, opts)
+    x = jnp.asarray(rng.normal(size=(3 + P + E,)) * 0.2, jnp.float32)
+    mask = np.ones(markers, np.float32)
+    mask[:2] = 0.0  # two missing markers
+    aux = {
+        "markers": jnp.asarray(rng.normal(size=(markers, 3)) * 0.3, jnp.float32),
+        "mask": jnp.asarray(mask),
+        "wt_data": jnp.float32(3.7),
+        "anneal": jnp.float32(1.4),
+        "wt_pose_scale": jnp.float32(5.0),
+        "velo_anchor": jnp.asarray(rng.normal(size=P) * 0.1, jnp.float32),
+        "velo_on": jnp.float32(1.0),
+        "extra_anchor": jnp.asarray(rng.normal(size=E) * 0.1, jnp.float32),
+        "extra_on": jnp.float32(1.0 if E else 0.0),
+    }
+    return prob, opts, x, aux
+
+
+def _check(prob, opts, prior, model_type, x, aux, atol=5e-4):
+    residual = make_stageii_residual(prob, opts, prior, model_type)
+    system = make_stageii_system(prob, opts, prior, model_type)
+
+    r = residual(x, aux)
+    J = jax.jacfwd(lambda xx: residual(xx, aux))(x)
+    f_ref = float(r @ r)
+    g_ref = np.asarray(J.T @ r)
+    B_ref = np.asarray(J.T @ J)
+
+    f, g, B = system.system_fn(x, aux)
+    scale = max(f_ref, 1.0)
+    np.testing.assert_allclose(float(f), f_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), g_ref,
+                               atol=atol * np.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(B), B_ref,
+                               atol=atol * np.abs(B_ref).max())
+    np.testing.assert_allclose(float(system.cost_fn(x, aux)), f_ref, rtol=1e-5)
+    # term energies must sum to the cost
+    en = stageii_term_energies(prob, opts, prior, model_type)(x, aux)
+    np.testing.assert_allclose(sum(float(v) for v in en.values()), f_ref,
+                               rtol=1e-5)
+
+
+class TestSystemMatchesResidual:
+    def test_smplh_fingers_gmm(self):
+        opts = StageIIOptions(optimize_fingers=True)
+        prob, opts, x, aux = _setup("smplh", opts, dof_per_hand=6)
+        prior = make_gmm_prior(dim=63, num_components=4, seed=2, scale=0.3)
+        _check(prob, opts, prior, "smplh", x, aux)
+
+    def test_smpl_no_prior(self):
+        prob, opts, x, aux = _setup("smpl")
+        _check(prob, opts, None, "smpl", x, aux)
+
+    def test_smplx_face_expressions(self):
+        opts = StageIIOptions(optimize_fingers=True, optimize_face=True,
+                              num_expressions=4, expr_start=16)
+        prob, opts, x, aux = _setup("smplx", opts, dof_per_hand=6,
+                                    num_shape_dirs=20)
+        prior = make_gmm_prior(dim=63, num_components=3, seed=4, scale=0.3)
+        _check(prob, opts, prior, "smplx", x, aux)
+
+    def test_smplh_dynamics(self):
+        opts = StageIIOptions(optimize_dynamics=True, num_dmpls=4)
+        prob, opts, x, aux = _setup("smplh", opts, dof_per_hand=6,
+                                    num_shape_dirs=20)
+        prior = make_gmm_prior(dim=63, num_components=3, seed=5, scale=0.3)
+        _check(prob, opts, prior, "smplh", x, aux)
+
+    def test_horse_callable_prior(self):
+        prob, opts, x, aux = _setup("animal_horse")
+        mean = jnp.asarray(np.random.default_rng(0).normal(size=81) * 0.05,
+                           jnp.float32)
+
+        def horse_prior(pose_body):
+            return (pose_body - mean) * 0.8
+
+        _check(prob, opts, horse_prior, "animal_horse", x, aux)
+
+    def test_toes_frozen_consistency(self):
+        opts = StageIIOptions(optimize_toes=True)
+        prob, opts, x, aux = _setup("smpl", opts)
+        prior = make_gmm_prior(dim=69, num_components=3, seed=6, scale=0.3)
+        _check(prob, opts, prior, "smpl", x, aux)

@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Profiling harness for the stage-ii solver: per-phase wall time and
-iteration distribution, on TPU (default) or CPU (--cpu).
+"""Profiling harness for the stage-ii solver.
+
+Reports: end-to-end fused-solve wall time + throughput, per-phase iteration
+counts and per-term energies (from the solver's telemetry scan), and
+optionally isolated per-iteration microbenchmarks of the Gauss-Newton system
+assembly. TPU by default, --cpu for host runs.
 
 Usage: python tools/profile_stageii.py [--frames N] [--cpu] [--maxiter K]
+       [--linear-solver pcg|cholesky] [--micro]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -18,6 +27,11 @@ def main():
     ap.add_argument("--maxiter", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dof-per-hand", type=int, default=24)
+    ap.add_argument("--linear-solver", default="pcg")
+    ap.add_argument("--cg-iters", type=int, default=24)
+    ap.add_argument("--anchor-stride", type=int, default=8)
+    ap.add_argument("--micro", action="store_true",
+                    help="also time one fused GN iteration in isolation")
     args = ap.parse_args()
 
     import jax
@@ -32,13 +46,9 @@ def main():
                                                  select_frame_indices)
     from moshpp_tpu.ops.surface import vertex_normals
     from moshpp_tpu.pipeline.stageii import (StageIIOptions,
-                                             make_stageii_residual,
-                                             prepare_stageii_problem,
-                                             rigid_init)
+                                             mosh_stageii_solve,
+                                             prepare_stageii_problem)
     from moshpp_tpu.priors import make_gmm_prior
-    from moshpp_tpu.solver.gauss_newton import (DoglegOptions,
-                                                batched_dogleg_solve)
-    import moshpp_tpu.pipeline.stageii as s2
 
     rng = np.random.default_rng(0)
     model = make_synthetic_model("smplh", num_verts=6890, seed=3,
@@ -68,69 +78,66 @@ def main():
                                    idx, coeffs)
 
     obs = np.asarray(jax.jit(jax.vmap(sim))(jnp.asarray(poses), jnp.asarray(trans)))
-    maskf = jnp.ones((F, args.markers), jnp.float32)
-    obs = jnp.asarray(obs)
+    mask = np.ones((F, args.markers), bool)
 
     opts = StageIIOptions(maxiter=args.maxiter, smoothing_sweeps=2,
-                          optimize_fingers=True)
+                          optimize_fingers=True,
+                          linear_solver=args.linear_solver,
+                          cg_iters=args.cg_iters,
+                          anchor_stride=args.anchor_stride)
     prob = prepare_stageii_problem(model, betas, latents, opts=opts)
 
-    residual = make_stageii_residual(prob, opts, prior, "smplh")
-    step1_mask, step2_mask = s2._param_masks(prob.sub_model, opts, "smplh")
+    t0 = time.perf_counter()
+    res, report = mosh_stageii_solve(prob, opts, obs, mask, prior=prior,
+                                     model_type="smplh", return_report=True)
+    jax.block_until_ready(res.trans)
+    compile_plus = time.perf_counter() - t0
 
-    n_obs = jnp.sum(maskf, axis=1)
-    wt_data = opts.wt("data") * 46.0 / jnp.maximum(n_obs, 1.0)
-    anneal = jnp.ones((F,))
+    t0 = time.perf_counter()
+    res, report = mosh_stageii_solve(prob, opts, obs, mask, prior=prior,
+                                     model_type="smplh", return_report=True)
+    jax.block_until_ready(res.trans)
+    dt = time.perf_counter() - t0
 
-    def aux_for(scale):
-        z = jnp.zeros((F,), jnp.float32)
-        return {
-            "markers": obs, "mask": maskf, "wt_data": wt_data, "anneal": anneal,
-            "wt_pose_scale": jnp.full((F,), scale, jnp.float32),
-            "velo_anchor": jnp.zeros((F, P), jnp.float32), "velo_on": z,
-            "extra_anchor": jnp.zeros((F, 0), jnp.float32), "extra_on": z,
-        }
+    print(f"phase      iters/frame   " +
+          "  ".join(f"{t:>10s}" for t in report.term_names))
+    for i, name in enumerate(report.phase_names):
+        row = "  ".join(f"{report.energies_after[i, j]:10.3e}"
+                        for j in range(len(report.term_names)))
+        print(f"{name:10s} {report.iterations[i]:11.1f}   {row}")
 
-    dl = DoglegOptions(maxiter=args.maxiter, delta_0=0.5)
-
-    @jax.jit
-    def step(x, aux, pmask, e3):
-        r = batched_dogleg_solve(residual, x, aux, dl, param_mask=pmask, e_3=e3)
-        return r.x, r.iterations, r.cost
-
-    x = rigid_init(prob, opts, obs, maskf)
-    x = jax.block_until_ready(x)
-
-    phases = [("anneal10", 10.0, step1_mask, 1e-3),
-              ("anneal5", 5.0, step1_mask, 1e-3),
-              ("anneal1", 1.0, step1_mask, 1e-3),
-              ("step1", 1.0, step1_mask, 1e-2),
-              ("step2", 1.0, step2_mask, 1e-2),
-              ("sweep1", 1.0, step2_mask, 1e-2),
-              ("sweep2", 1.0, step2_mask, 1e-2),
-              ("polish", 1.0, step2_mask, 1e-4)]
-
-    # warmup compile
-    _ = jax.block_until_ready(step(x, aux_for(10.0), step1_mask, jnp.float32(1e-3)))
-
-    total = 0.0
-    for name, scale, pmask, e3 in phases:
-        t0 = time.perf_counter()
-        x, its, cost = step(x, aux_for(scale), pmask, jnp.float32(e3))
-        x = jax.block_until_ready(x)
-        dt = time.perf_counter() - t0
-        total += dt
-        its = np.asarray(its)
-        print(f"{name:9s} {dt*1000:8.1f} ms  iters p50={np.percentile(its,50):.0f} "
-              f"p90={np.percentile(its,90):.0f} max={its.max()}  "
-              f"cost p50={np.percentile(np.asarray(cost),50):.3e}")
-
-    # final error
-    from moshpp_tpu.pipeline.stageii import simulate_markers
-    sims = jax.vmap(lambda xi: simulate_markers(prob, opts, xi))(x)
-    err = np.asarray(jnp.sqrt(jnp.sum((sims - obs) ** 2, -1)))
-    print(f"TOTAL {total:.2f}s -> {F/total:.1f} frames/s | "
+    err = np.asarray(res.data_err)
+    print(f"\nfirst call (incl compile): {compile_plus:.1f}s")
+    print(f"TOTAL {dt:.2f}s -> {F/dt:.1f} frames/s | "
           f"mean marker err {err.mean()*1000:.3f} mm")
+
+    if args.micro:
+        from moshpp_tpu.pipeline.stageii import make_stageii_system
+        system = make_stageii_system(prob, opts, prior, "smplh")
+        D = 3 + prob.sub_model.pose_dof
+        x = jnp.asarray(np.concatenate([trans, poses], 1))
+        aux = {"markers": jnp.asarray(obs), "mask": jnp.asarray(mask, jnp.float32),
+               "wt_data": jnp.full((F,), 8.7), "anneal": jnp.ones((F,)),
+               "wt_pose_scale": jnp.ones((F,)),
+               "velo_anchor": jnp.zeros((F, P)), "velo_on": jnp.zeros((F,)),
+               "extra_anchor": jnp.zeros((F, 0)), "extra_on": jnp.zeros((F,))}
+        K = 10
+
+        @jax.jit
+        def iters(x):
+            def body(c, _):
+                f, g, B = jax.vmap(system.system_fn)(c, aux)
+                dinv = 1.0 / jnp.clip(jnp.diagonal(B, axis1=1, axis2=2), 1e-12)
+                p = -dinv * g
+                for _ in range(opts.cg_iters):
+                    p = p - dinv * (jnp.einsum("fab,fb->fa", B, p) + g) * 0.1
+                return c - 1e-6 * p, None
+            out, _ = jax.lax.scan(body, x, None, length=K)
+            return out
+        jax.block_until_ready(iters(x))
+        t0 = time.perf_counter()
+        jax.block_until_ready(iters(x))
+        print(f"fused system+iter micro: {(time.perf_counter()-t0)/K*1000:.2f} ms/iter")
 
 
 if __name__ == "__main__":
