@@ -71,10 +71,12 @@ class Config:
         self._data[key] = value
 
     def __getitem__(self, key: str):
-        if "." in key:
+        if "." in key or "[" in key:
             node = self
             for part in key.split("."):
-                node = node[part]
+                for sub in _bracket_segments(part):
+                    node = (Config.__getitem__(node, sub)
+                            if isinstance(node, Config) else node[sub])
             return node
         val = self._data[key]
         return self._resolve_value(val)
@@ -128,11 +130,11 @@ class Config:
                         for a in _split_args(argstr)]
                 return _RESOLVERS[name](*[_coerce(a) if isinstance(a, str) else a
                                           for a in args])
-            # plain key reference
-            node = self._root
-            for part in expr.split("."):
-                node = node[part]
-            return node
+            # key reference, with OmegaConf-style bracket indirection
+            # (`opt_weights[smplh].stagei_wt_poseB` — the inner `${...}` of
+            # `${opt_weights[${opt_settings.weights_type}]}` has already been
+            # substituted by the outer loop)
+            return self._root[expr]
 
         # full-string interpolation keeps native type
         m = _INTERP.fullmatch(val.strip())
@@ -147,6 +149,11 @@ class Config:
         out = val
         while prev != out and _INTERP.search(out):
             prev = out
+            # inner substitutions may reduce a nested expression to one
+            # full-string interpolation — return its native value
+            m = _INTERP.fullmatch(out.strip())
+            if m:
+                return self._resolve_value(resolve_expr(m.group(1)), depth + 1)
             out = _INTERP.sub(repl, out)
         if out == "???":
             raise KeyError(f"missing mandatory config value: {val}")
@@ -164,6 +171,17 @@ class Config:
             return node
 
         return walk(self)
+
+
+def _bracket_segments(part: str):
+    """'name[a][b]' -> ['name', 'a', 'b']; plain names pass through."""
+    if "[" not in part:
+        return [part]
+    m = re.fullmatch(r"([^\[\]]+)((\[[^\[\]]+\])*)", part)
+    if m is None:
+        raise KeyError(f"bad config reference segment: {part!r}")
+    return [m.group(1)] + [s.strip() for s in
+                           re.findall(r"\[([^\[\]]+)\]", m.group(2))]
 
 
 def _split_args(argstr: str):

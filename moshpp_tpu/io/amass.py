@@ -38,6 +38,86 @@ def _makepath(fname: str) -> str:
     return fname
 
 
+def load_as_amass_npz_legacy(stageii_pkl_data_or_fname: Union[dict, str, Path],
+                             stageii_npz_fname: Optional[Union[str, Path]] = None,
+                             stagei_npz_fname: Optional[Union[str, Path]] = None,
+                             include_markers: bool = False) -> dict:
+    """Convert a *legacy* (py2-era) MoSh stage-ii pickle to AMASS npz data.
+
+    Mirrors `mosh_head.py:342-441`: the legacy schema keeps a flat config
+    under `ps` (gender / fitting_model / betas / use_dynamics / ...) and
+    stage outputs under `shape_est_*` / `pose_est_*` keys. Pickles are
+    decoded latin-1 (py2 byte strings).
+    """
+    if isinstance(stageii_pkl_data_or_fname, dict):
+        data = stageii_pkl_data_or_fname
+    else:
+        with open(stageii_pkl_data_or_fname, "rb") as f:
+            data = pickle.load(f, encoding="latin-1")
+
+    cfg = data["ps"]
+    out = {
+        "gender": cfg["gender"],
+        "surface_model_type": cfg["fitting_model"],
+        "mocap_frame_rate": data["mocap_framerate"],
+        "mocap_time_length": data["mocap_timelength"],
+        "markers_latent": data["shape_est_lmrks"],
+        "latent_labels": data["shape_est_lmlabels"],
+        "markers_latent_vids": data["shape_debug_details"]["shape_est_lmrks_vids"],
+        "trans": data["pose_est_trans"],
+        "poses": data["pose_est_fullposes"],
+    }
+    if "vtemplate_fname" in data:
+        from moshpp_tpu.io.ply import read_ply
+        out["v_template"] = read_ply(data["vtemplate_fname"])[0]
+        out["v_template_fname"] = data["vtemplate_fname"]
+
+    optimize_betas = ("vtemplate_fname" not in data) and (cfg["betas"] is None)
+    if optimize_betas:
+        num_betas = cfg["num_betas"]
+        out["betas"] = np.asarray(data["shape_est_betas"])[:num_betas]
+        out["num_betas"] = num_betas
+    if cfg["use_dynamics"]:
+        num_dmpls = cfg["num_dmpls"]
+        out["dmpls"] = np.asarray(data["pose_est_dmpls"])[:, :num_dmpls]
+        out["num_dmpls"] = num_dmpls
+    if cfg["optimize_face"]:
+        num_expr = cfg["num_expr"]
+        out["expression"] = np.asarray(data["pose_est_exprs"])[:, :num_expr]
+        out["num_expressions"] = num_expr
+
+    out.update(turn_fullpose_into_parts(
+        np.asarray(data["pose_est_fullposes"]), cfg["fitting_model"]))
+
+    if include_markers:
+        from moshpp_tpu.markers.layout import marker_layout_load
+        out["markers"] = data["pose_est_obmrks"]
+        out["labels"] = data["pose_est_mrk_labels"]
+        out["markers_obs"] = data["pose_est_obmrks"]
+        out["labels_obs"] = data["pose_est_mrk_labels"]
+        out["markers_sim"] = data["pose_est_simmrks"]
+        out["marker_meta"] = marker_layout_load(
+            cfg["mrk_settings_fname"], only_markers=data["shape_est_lmlabels"])
+        out["num_markers"] = np.asarray(out["markers"]).shape[1]
+
+    if stageii_npz_fname:
+        stageii_npz_fname = str(stageii_npz_fname)
+        if not os.path.exists(stageii_npz_fname):
+            np.savez(_makepath(stageii_npz_fname), **out)
+        if stagei_npz_fname is None:
+            stagei_npz_fname = os.path.join(
+                os.path.dirname(stageii_npz_fname),
+                f"{cfg['gender']}_stagei.npz")
+        stagei_npz_fname = str(stagei_npz_fname)
+        if not os.path.exists(stagei_npz_fname):
+            keep = ["gender", "surface_model_type", "markers_latent",
+                    "latent_labels", "markers_latent_vids", "betas",
+                    "v_template"]
+            np.savez(_makepath(stagei_npz_fname),
+                     **{k: v for k, v in out.items() if k in keep})
+    return out
+
+
 def load_as_amass_npz(stageii_pkl_data_or_fname: Union[dict, str, Path],
                       stageii_npz_fname: Optional[Union[str, Path]] = None,
                       stagei_npz_fname: Optional[Union[str, Path]] = None,

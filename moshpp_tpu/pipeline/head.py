@@ -21,7 +21,9 @@ from typing import Optional
 import numpy as np
 
 from moshpp_tpu.config.config import Config, prepare_cfg
-from moshpp_tpu.io.amass import load_as_amass_npz, turn_fullpose_into_parts
+from moshpp_tpu.io.amass import (load_as_amass_npz,
+                                 load_as_amass_npz_legacy,
+                                 turn_fullpose_into_parts)
 from moshpp_tpu.io.mocap import MocapSession
 from moshpp_tpu.io.model_loader import load_surface_model
 from moshpp_tpu.markers.autogen import marker_labels_to_marker_layout
@@ -204,6 +206,10 @@ class MoSh:
         return load_gmm_prior(fname, npose=npose)
 
     def mosh_stagei(self, mosh_stagei_func=None) -> str:
+        """Run (or load cached) stage-i. `mosh_stagei_func` optionally
+        replaces the solver callable (`mosh_stagei_solve` signature) —
+        the reference's injection pattern (mosh_head.py:200)."""
+        solve = mosh_stagei_func or mosh_stagei_solve
         cfg = self.cfg
         if os.path.exists(self.stagei_fname):
             with open(self.stagei_fname, "rb") as f:
@@ -270,7 +276,7 @@ class MoSh:
             e_3=float(cfg["opt_settings.stagei_lr"]),
             weights=_stagei_weights(cfg),
         )
-        result = mosh_stagei_solve(
+        result = solve(
             model, obs, mask, arrays["labels"], arrays["vids"], arrays["m2b"],
             arrays["type_masks"], opts=opts, prior=prior, betas_init=betas_init,
             head_corr=head_corr)
@@ -311,6 +317,10 @@ class MoSh:
 
     # ------------------------------------------------------------ stage II
     def mosh_stageii(self, mosh_stageii_func=None) -> str:
+        """Run (or load cached) stage-ii. `mosh_stageii_func` optionally
+        replaces the solver callable (`mosh_stageii_solve` signature) —
+        the reference's injection pattern (mosh_head.py:268)."""
+        solve = mosh_stageii_func or mosh_stageii_solve
         cfg = self.cfg
         if self.stagei_data is None:
             raise ValueError(f"run stage-i first ({self.stagei_fname} missing)")
@@ -355,8 +365,8 @@ class MoSh:
             betas = np.zeros(cfg["surface_model.num_betas"], np.float32)
         prob = prepare_stageii_problem(
             model, betas, self.stagei_data["markers_latent"], opts=opts)
-        result = mosh_stageii_solve(prob, opts, obs, mask, prior=prior,
-                                    model_type=model.model_type)
+        result = solve(prob, opts, obs, mask, prior=prior,
+                       model_type=model.model_type)
 
         labels_obs = [[l for l, m in zip(latent_labels, fm) if m] for fm in mask]
         stageii_data = {
@@ -450,6 +460,7 @@ class MoSh:
             logger.warning("layout mesh/c3d export skipped: %s", e)
 
     load_as_amass_npz = staticmethod(load_as_amass_npz)
+    load_as_amass_npz_legacy = staticmethod(load_as_amass_npz_legacy)
 
 
 def run_moshpp_once(cfg) -> MoSh:

@@ -63,6 +63,20 @@ class TestConfig:
                              "surface_model.type": "smplh"})
         assert cfg["opt_weights.smpl.stagei_wt_data"] == 75.0
 
+    def test_bracket_indirection(self):
+        # OmegaConf-style ${table[${key}]} used by SOMA cfg files
+        # (reference moshpp_conf.yaml:97)
+        cfg = prepare_cfg(**{
+            "mocap.fname": "/a/b/c.c3d",
+            "surface_model.gender": "neutral",
+            "surface_model.type": "smplh",
+            "opt_settings.weights_type": "smplh",
+            "opt_settings.weights": "${opt_weights[${opt_settings.weights_type}]}",
+        })
+        w = cfg["opt_settings.weights"]
+        assert w["stagei_wt_poseB"] == cfg["opt_weights.smplh.stagei_wt_poseB"]
+        assert cfg["opt_weights[smplh].stageii_wt_data"] == 400
+
 
 @pytest.fixture(scope="module")
 def synth_world(tmp_path_factory):
@@ -206,6 +220,69 @@ class TestMoShHead:
         # stage-i npz written alongside
         assert os.path.exists(os.path.join(os.path.dirname(out_npz),
                                            "neutral_stagei.npz"))
+
+
+class TestLegacyAmass:
+    def _legacy_pkl(self, tmp_path, with_vtemplate=False):
+        """Synthesize a legacy-schema (py2-era) stage-ii pickle
+        (mosh_head.py:342-441 input contract)."""
+        rng = np.random.default_rng(3)
+        F, M = 12, 9
+        data = {
+            "ps": {"gender": "female", "fitting_model": "smplh",
+                   "betas": None, "num_betas": 10,
+                   "use_dynamics": True, "num_dmpls": 8,
+                   "optimize_face": False, "num_expr": 0,
+                   "mrk_settings_fname": None},
+            "mocap_framerate": 120.0,
+            "mocap_timelength": F / 120.0,
+            "shape_est_lmrks": rng.normal(size=(M, 3)).astype(np.float32),
+            "shape_est_lmlabels": [f"M{i}" for i in range(M)],
+            "shape_debug_details": {
+                "shape_est_lmrks_vids": rng.integers(0, 6890, M)},
+            "shape_est_betas": rng.normal(size=16).astype(np.float32),
+            "pose_est_trans": rng.normal(size=(F, 3)).astype(np.float32),
+            "pose_est_fullposes": rng.normal(size=(F, 156)).astype(np.float32),
+            "pose_est_dmpls": rng.normal(size=(F, 8)).astype(np.float32),
+        }
+        if with_vtemplate:
+            from moshpp_tpu.io.ply import write_ply
+            v = rng.normal(size=(20, 3)).astype(np.float32)
+            f = np.asarray([[0, 1, 2]], np.int32)
+            ply = str(tmp_path / "vtemplate.ply")
+            write_ply(ply, v, f)
+            data["vtemplate_fname"] = ply
+        fname = str(tmp_path / "legacy_stageii.pkl")
+        with open(fname, "wb") as fh:
+            pickle.dump(data, fh, protocol=2)
+        return fname, data
+
+    def test_legacy_roundtrip(self, tmp_path):
+        fname, src = self._legacy_pkl(tmp_path)
+        out_npz = str(tmp_path / "out" / "legacy_stageii.npz")
+        out = MoSh.load_as_amass_npz_legacy(fname, stageii_npz_fname=out_npz)
+        assert out["gender"] == "female"
+        assert out["surface_model_type"] == "smplh"
+        np.testing.assert_allclose(out["poses"], src["pose_est_fullposes"])
+        np.testing.assert_allclose(out["betas"],
+                                   src["shape_est_betas"][:10])
+        assert out["num_betas"] == 10
+        np.testing.assert_allclose(out["dmpls"], src["pose_est_dmpls"])
+        assert out["pose_body"].shape == (12, 63)
+        assert out["pose_hand"].shape == (12, 90)
+        d = np.load(out_npz, allow_pickle=True)
+        assert d["mocap_frame_rate"] == 120.0
+        # stage-i shape npz written alongside with the legacy gender name
+        stagei = os.path.join(os.path.dirname(out_npz), "female_stagei.npz")
+        assert os.path.exists(stagei)
+        d1 = np.load(stagei, allow_pickle=True)
+        assert "betas" in d1 and "trans" not in d1
+
+    def test_legacy_vtemplate_suppresses_betas(self, tmp_path):
+        fname, src = self._legacy_pkl(tmp_path, with_vtemplate=True)
+        out = MoSh.load_as_amass_npz_legacy(fname)
+        assert "betas" not in out
+        assert out["v_template"].shape == (20, 3)
 
 
 class TestJobsFilter:
