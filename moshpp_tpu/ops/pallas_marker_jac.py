@@ -1,0 +1,644 @@
+"""Fused Pallas TPU kernel: simulated markers + exact (trans, pose) Jacobian.
+
+This is the speed-of-light path for the stage-ii Gauss-Newton system — the
+TPU-native replacement for the reference's C++ analytic LBS derivative kernels
+(`/root/reference/src/moshpp/models/smpl_fast_derivatives.py:246-263`).
+
+Why a kernel at all: the same math as `ops/lbs_jacobian.py` expressed as XLA
+einsums is memory-layout-bound, not FLOP-bound — every intermediate carries
+trailing dims of 3/4/9 that tile onto the TPU's (8, 128) vector registers at a
+few percent occupancy, so a ~8 MFLOP/frame computation costs ~95 ms at F=4096
+on v5e (~25 us/frame). Here the whole chain runs with **frames in the lane
+dimension**: every per-joint quantity is a (J, 128-frames) tile, every
+contraction over tiny structure dims (3x3 rotations, 52 joints, 9 blend
+features) is an unrolled sequence of full-width VPU FMAs or a small MXU dot,
+and *no intermediate ever touches HBM*.
+
+Pipeline per frame-block (all in VMEM / registers):
+
+  theta (3, J, F-blk)                                 [only XLA-side prep:
+    -> quaternion rodrigues R + hand-derived dR        fullpose hand-PCA GEMM
+    -> FK over tree levels; parent gathers are         + transpose]
+       one-hot (J, J) matmuls (no scatters/gathers)
+    -> skinning transforms A, path generators W = Gp (dL L^-1) Gp^-1
+    -> pose-blend features(R)
+  per marker (x3 frame vertices):
+    -> v_posed = v_shaped + posedirs . feat            (MXU dot)
+    -> S_vj = sum_k w_vk anc_kj (A_k v_posed)          (MXU dot over ancestors)
+    -> J_fk = W_rot S + s W_tr + T_rot dvp             (unrolled VPU FMAs)
+    -> hand-PCA chain                                  (MXU dot)
+    -> local-frame reconstruction + hand-derived
+       d(marker)/d(frame verts) 3x3 blocks
+    -> J_marker rows + simulated marker positions
+
+The math mirrors `ops/lbs_jacobian.py:65-195` exactly (same generator
+formulation, same eps guards) and is cross-validated against it in
+tests/test_pallas_jac.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from moshpp_tpu.models.body_model import (SurfaceModel, _ancestor_matrix,
+                                          effective_weights)
+from moshpp_tpu.ops.marker_transform import MarkerFrameIndices
+
+_EPS = 1e-12          # matches ops/rodrigues._EPS and marker_transform._EPS
+BF = 128              # frame block = one full lane tile
+
+
+def _tree_level_masks(parents: Tuple[int, ...]) -> np.ndarray:
+    """(L, J) 0/1 masks of joints at depth 1..L (root depth-0 excluded)."""
+    J = len(parents)
+    depth = [0] * J
+    for k in range(1, J):
+        depth[k] = depth[parents[k]] + 1
+    L = max(depth)
+    masks = np.zeros((L, J), np.float32)
+    for k in range(J):
+        if depth[k] > 0:
+            masks[depth[k] - 1, k] = 1.0
+    return masks
+
+
+def _parent_onehot(parents: Tuple[int, ...]) -> np.ndarray:
+    """(J, J) P with row j = e_parent(j) (root row zero)."""
+    J = len(parents)
+    P = np.zeros((J, J), np.float32)
+    for j, p in enumerate(parents):
+        if p >= 0:
+            P[j, p] = 1.0
+    return P
+
+
+class MarkerJacTables(NamedTuple):
+    """Problem-frozen tables for the fused kernels, as device arrays.
+
+    A plain pytree: jitted solver programs take it as an argument, so one
+    compiled program serves every subject with the same (model family, M)
+    shapes. Build with `prepare_marker_jac_tables`.
+    """
+    lvl: jnp.ndarray        # (L, J) tree level masks
+    par: jnp.ndarray        # (J, J) parent one-hot
+    rootm: jnp.ndarray      # (J, 1) 1.0 on root rows
+    jnts: jnp.ndarray       # (J, 3) shaped rest joints
+    trel: jnp.ndarray       # (J, 3) parent-relative rest joints
+    ancT: jnp.ndarray       # (J, J) ancestor mask transposed
+    hc: jnp.ndarray         # (HD, 45*nh) hand PCA components (or (1,1))
+    wT: jnp.ndarray         # (J, M*128) banded skinning weight columns
+    sT: jnp.ndarray         # (J, M*128) banded (w @ anc) columns
+    vshT: jnp.ndarray       # (3, M*128) banded shaped rest positions
+    pdrow: jnp.ndarray      # (M*16, 9(J-1)) banded posedirs rows
+    pdJ: jnp.ndarray        # (J-1, M*128) banded posedirs columns
+    cf: jnp.ndarray         # (M*8, 3) banded marker coefficients
+    hands_mean: jnp.ndarray  # (45*nh,) or (0,)
+
+
+def _rodrigues_rows(t0, t1, t2):
+    """Quaternion rodrigues on (J, BF) component tiles.
+
+    Identical formula to ops/rodrigues.rodrigues (incl. the +_EPS guard).
+    Returns R[a][b] (3x3 nested list of (J, BF)) plus the quaternion pieces
+    needed by the hand derivative.
+    """
+    theta_sq = t0 * t0 + t1 * t1 + t2 * t2
+    theta = jnp.sqrt(theta_sq + _EPS)
+    half = 0.5 * theta
+    w = jnp.cos(half)
+    s = jnp.sin(half) / theta
+    x, y, z = t0 * s, t1 * s, t2 * s
+
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    R = [[1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)],
+         [2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)],
+         [2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)]]
+    return R, (w, x, y, z, s, theta)
+
+
+def _rodrigues_grad_rows(tvec, quat):
+    """dR[t][a][b] (J, BF): hand derivative of `_rodrigues_rows`.
+
+    Chain rule through q(v): dw/dv_t = -0.5 s v_t,
+    dq_i/dv_t = delta_it s + v_i v_t (0.5 w - s)/theta^2.
+    """
+    w, x, y, z, s, theta = quat
+    g = (0.5 * w - s) / (theta * theta)
+    dR = []
+    for t in range(3):
+        vt = tvec[t]
+        dw = -0.5 * s * vt
+        dq = [g * tvec[i] * vt + (s if i == t else 0.0) for i in range(3)]
+        dx, dy, dz = dq
+        dxx, dyy, dzz = 2 * x * dx, 2 * y * dy, 2 * z * dz
+        dxy = dx * y + x * dy
+        dxz = dx * z + x * dz
+        dyz = dy * z + y * dz
+        dwx = dw * x + w * dx
+        dwy = dw * y + w * dy
+        dwz = dw * z + w * dz
+        dR.append([
+            [-2.0 * (dyy + dzz), 2.0 * (dxy - dwz), 2.0 * (dxz + dwy)],
+            [2.0 * (dxy + dwz), -2.0 * (dxx + dzz), 2.0 * (dyz - dwx)],
+            [2.0 * (dxz - dwy), 2.0 * (dyz + dwx), -2.0 * (dxx + dyy)]])
+    return dR
+
+
+def _dotc(a, b):
+    """Small MXU matmul at full f32 precision."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _gather_rows(P, arrs):
+    """Row gather of (J, BF) tiles expressed as one one-hot matmul.
+
+    arrs: list of (J, BF); returns [P @ a for a in arrs] via a single
+    (J, J) @ (J, n*BF) MXU dot (lane-concat trick).
+    """
+    cat = jnp.concatenate(arrs, axis=1)
+    out = _dotc(P, cat)
+    n = len(arrs)
+    return [out[:, i * BF:(i + 1) * BF] for i in range(n)]
+
+
+def _mat3mul(A, B):
+    """3x3 matrix product on nested lists of (1, BF) rows."""
+    return [[sum(A[a][k] * B[k][b] for k in range(3)) for b in range(3)]
+            for a in range(3)]
+
+
+def _skew(v):
+    """[v]x as a nested list; v = (v0, v1, v2) of (1, BF)."""
+    z = jnp.zeros_like(v[0])
+    return [[z, -v[2], v[1]],
+            [v[2], z, -v[0]],
+            [-v[1], v[0], z]]
+
+
+def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                   trel_ref,
+                   grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                   *, parents, has_pb):
+    """Per-frame-block FK pipeline: rodrigues + dR + tree FK + generators.
+
+    Grid (nf,). All outputs are (k, J, BF) stacks with a static structure
+    index leading and frames in lanes, consumed by `_marker_kernel`.
+    """
+    J = len(parents)
+    L = lvl_ref.shape[0]
+
+    th = [theta_ref[t] for t in range(3)]                      # (J, BF)
+    R, quat = _rodrigues_rows(*th)
+    dR = _rodrigues_grad_rows(th, quat)
+
+    trel = [trel_ref[:, c:c + 1] for c in range(3)]            # (J, 1)
+    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
+    G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
+    G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
+    par = par_ref[:]
+    for lev in range(L):
+        flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
+        gp = _gather_rows(par, flat)
+        gp_rot = [[gp[a * 3 + b] for b in range(3)] for a in range(3)]
+        gp_tr = gp[9:]
+        m = lvl_ref[lev][:, None]                              # (J, 1)
+        new_rot = [[sum(gp_rot[a][k] * R[k][b] for k in range(3))
+                    for b in range(3)] for a in range(3)]
+        new_tr = [sum(gp_rot[a][k] * trel[k] for k in range(3)) + gp_tr[a]
+                  for a in range(3)]
+        for a in range(3):
+            for b in range(3):
+                G_rot[a][b] = m * new_rot[a][b] + (1.0 - m) * G_rot[a][b]
+            G_tr[a] = m * new_tr[a] + (1.0 - m) * G_tr[a]
+
+    # skinning transforms: A_rot = G_rot, A_tr = G_tr - G_rot @ rest_joint
+    A_tr = [G_tr[a] - sum(G_rot[a][b] * jnts[b] for b in range(3))
+            for a in range(3)]
+
+    # parent transforms for the generators (root parent = identity)
+    flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
+    gp = _gather_rows(par, flat)
+    rootm = rootm_ref[:]                                       # (J, 1)
+    eye = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    Q = [[rootm * eye[a][b] + (1.0 - rootm) * gp[a * 3 + b]
+          for b in range(3)] for a in range(3)]
+    bb = [(1.0 - rootm) * gp[9 + a] for a in range(3)]
+
+    # dRRt[a][c][t] = sum_b dR[t][a][b] R[c][b];  u = -dRRt @ t_rel
+    dRRt = [[[sum(dR[t][a][b] * R[c][b] for b in range(3))
+              for t in range(3)] for c in range(3)] for a in range(3)]
+    u = [[-sum(dRRt[a][b][t] * trel[b] for b in range(3))
+          for t in range(3)] for a in range(3)]
+    # W_rot = Q dRRt Q^T, W_tr = -W_rot b + Q u
+    tmp = [[[sum(Q[a][b] * dRRt[b][c][t] for b in range(3))
+             for t in range(3)] for c in range(3)] for a in range(3)]
+    W_rot = [[[sum(tmp[a][c][t] * Q[d][c] for c in range(3))
+               for t in range(3)] for d in range(3)] for a in range(3)]
+    W_tr = [[-sum(W_rot[a][b][t] * bb[b] for b in range(3))
+             + sum(Q[a][b] * u[b][t] for b in range(3))
+             for t in range(3)] for a in range(3)]
+
+    for a in range(3):
+        for b in range(3):
+            grot_ref[a * 3 + b, :, :] = G_rot[a][b]
+            for t in range(3):
+                wrot_ref[(a * 3 + b) * 3 + t, :, :] = W_rot[a][b][t]
+                dr_ref[(a * 3 + b) * 3 + t, :, :] = dR[t][a][b]
+        atr_ref[a, :, :] = A_tr[a]
+        for t in range(3):
+            wtr_ref[a * 3 + t, :, :] = W_tr[a][t]
+
+    if has_pb:
+        feats = [R[a][b][1:, :] - (1.0 if a == b else 0.0)
+                 for a in range(3) for b in range(3)]
+        feat_ref[:, :] = jnp.stack(feats, axis=1).reshape((J - 1) * 9, BF)
+    else:
+        feat_ref[:, :] = jnp.zeros_like(feat_ref)
+
+
+def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                   trans_ref,
+                   ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
+                   pdJ_ref, cf_ref,
+                   sim_ref, jm_ref,
+                   *, num_joints, body_dof, hand_dof, has_pb):
+    """One (frame-block, marker) program.
+
+    Smalls blocks depend only on the frame index, so Mosaic keeps them
+    VMEM-resident across the marker-major grid sweep; per-marker tables are
+    128-aligned bands so every lane index is static (Mosaic forbids dynamic
+    lane slicing).
+    """
+    J = num_joints
+
+    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
+    A_tr = [atr_ref[a] for a in range(3)]
+    W_rot = [[[wrot_ref[(a * 3 + b) * 3 + t] for t in range(3)]
+              for b in range(3)] for a in range(3)]
+    W_tr = [[wtr_ref[a * 3 + t] for t in range(3)] for a in range(3)]
+    dR = [[[dr_ref[(a * 3 + b) * 3 + t] for b in range(3)]
+           for a in range(3)] for t in range(3)]
+    if has_pb:
+        feat = feat_ref[:]                                     # (9(J-1), BF)
+    trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]      # (1, BF)
+    ancT = ancT_ref[:]
+    hc = hc_ref[:] if hand_dof else None
+    wT = wT_ref[:]                                             # (J, 128)
+    sT = sT_ref[:]
+    vshT = vshT_ref[:]                                         # (3, 128)
+    if has_pb:
+        pdJb = pdJ_ref[:]                                      # (J-1, 128)
+
+    verts = []
+    Jp = []
+    for k in range(3):
+        wcol = wT[:, k:k + 1]                                  # (J, 1)
+        scol = sT[:, k:k + 1]
+        vsh = vshT[:, k:k + 1]                                 # (3, 1)
+        if has_pb:
+            pd3 = pdrow_ref[pl.ds(k * 3, 3), :]                # (3, 9(J-1))
+            pb = _dotc(pd3, feat)                              # (3, BF)
+            vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
+        else:
+            vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
+                  for c in range(3)]
+
+        # z_b = A_rot[b] @ v_posed + A_tr[b]; y = w * z; S = ancT @ y
+        zb = [sum(G_rot[b][c] * vp[c] for c in range(3)) + A_tr[b]
+              for b in range(3)]
+        ycat = jnp.concatenate([wcol * zb[b] for b in range(3)], axis=1)
+        Scat = _dotc(ancT, ycat)                               # (J, 3*BF)
+        S = [Scat[:, b * BF:(b + 1) * BF] for b in range(3)]
+
+        # T_rot / T_tr for this vertex (weighted skinning transform)
+        Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
+                 for c in range(3)] for a in range(3)]
+        Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
+               for a in range(3)]
+
+        # J_fk[a][t] (J, BF) = W_rot S + s W_tr (+ T_rot dvp)
+        Jf = [[sum(W_rot[a][b][t] * S[b] for b in range(3))
+               + scol * W_tr[a][t]
+               for t in range(3)] for a in range(3)]
+        if has_pb:
+            dvp = [[sum(pdJb[:, k * 27 + c * 9 + a * 3 + b:
+                             k * 27 + c * 9 + a * 3 + b + 1]
+                        * dR[t][a][b][1:, :]
+                        for a in range(3) for b in range(3))
+                    for t in range(3)] for c in range(3)]
+            for a in range(3):
+                for t in range(3):
+                    t3 = sum(Trot[a][c] * dvp[c][t] for c in range(3))
+                    Jf[a][t] = jnp.concatenate(
+                        [Jf[a][t][:1, :], Jf[a][t][1:, :] + t3], axis=0)
+
+        # column order (j, t) -> optimization pose vector
+        Jrows = []
+        for a in range(3):
+            JJ = jnp.stack([Jf[a][0], Jf[a][1], Jf[a][2]],
+                           axis=1).reshape(3 * J, BF)
+            if hand_dof:
+                Jh = _dotc(hc, JJ[body_dof:3 * J, :])
+                JJ = jnp.concatenate([JJ[:body_dof, :], Jh], axis=0)
+            Jrows.append(JJ)                                   # (P_out, BF)
+        Jp.append(Jrows)
+
+        v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
+             for b in range(3)]
+        verts.append(v)
+
+    # ---- local-frame reconstruction + its vertex Jacobian -------------------
+    cfb = cf_ref[pl.ds(0, 1), :]                               # (1, 3)
+    c1, c2, c3 = cfb[:, 0:1], cfb[:, 1:2], cfb[:, 2:3]
+    v0, v1, v2 = verts
+    e1 = [v1[b] - v0[b] for b in range(3)]
+    e2 = [v2[b] - v0[b] for b in range(3)]
+    n1 = jnp.sqrt(sum(e * e for e in e1) + _EPS)
+    f1 = [e / n1 for e in e1]
+    cz = [e1[1] * e2[2] - e1[2] * e2[1],
+          e1[2] * e2[0] - e1[0] * e2[2],
+          e1[0] * e2[1] - e1[1] * e2[0]]
+    n2 = jnp.sqrt(sum(c * c for c in cz) + _EPS)
+    f2 = [c / n2 for c in cz]
+    f3 = [f1[1] * f2[2] - f1[2] * f2[1],
+          f1[2] * f2[0] - f1[0] * f2[2],
+          f1[0] * f2[1] - f1[1] * f2[0]]
+    sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
+    sim_ref[0, :, :] = jnp.concatenate(sim, axis=0)
+
+    # d f / d e blocks (exact for the eps-guarded normalization)
+    inv1, inv2 = 1.0 / n1, 1.0 / n2
+    M1 = [[((1.0 if a == b else 0.0) - f1[a] * f1[b]) * inv1
+           for b in range(3)] for a in range(3)]
+    M2 = [[((1.0 if a == b else 0.0) - f2[a] * f2[b]) * inv2
+           for b in range(3)] for a in range(3)]
+    C1 = [[-x for x in row] for row in _skew(e2)]              # d cz / d e1
+    C2 = _skew(e1)                                             # d cz / d e2
+    A1 = _mat3mul(M2, C1)
+    A2 = _mat3mul(M2, C2)
+    S1m = _skew(f1)
+    S2m = _skew(f2)
+    B1 = _mat3mul(S1m, A1)
+    B2 = _mat3mul(S1m, A2)
+    N1 = _mat3mul(S2m, M1)
+    dm1 = [[c1 * M1[a][b] + c2 * A1[a][b] + c3 * (B1[a][b] - N1[a][b])
+            for b in range(3)] for a in range(3)]
+    dm2 = [[c2 * A2[a][b] + c3 * B2[a][b] for b in range(3)]
+           for a in range(3)]
+    dm0 = [[(1.0 if a == b else 0.0) - dm1[a][b] - dm2[a][b]
+            for b in range(3)] for a in range(3)]
+    dms = [dm0, dm1, dm2]
+
+    for c in range(3):
+        row = sum(dms[k][c][d] * Jp[k][d]
+                  for k in range(3) for d in range(3))         # (P_out, BF)
+        tcol = jnp.concatenate(
+            [jnp.full((1, BF), 1.0 if c == j else 0.0, row.dtype)
+             for j in range(3)], axis=0)
+        jm_ref[c, :, :] = jnp.concatenate([tcol, row], axis=0)
+
+
+def prepare_marker_jac_tables(model: SurfaceModel,
+                              idx: MarkerFrameIndices,
+                              coeffs: jnp.ndarray,
+                              betas: jnp.ndarray) -> MarkerJacTables:
+    """Freeze a (model, marker set, betas) problem into kernel tables."""
+    parents = model.parents
+    J = model.num_joints
+    nb = min(int(betas.shape[-1]), model.num_shape_dirs)
+    betas64 = np.asarray(betas, np.float64)[:nb]
+    has_pb = model.posedirs.shape[-1] > 0 and J > 1
+    hand_dof = (model.pose_dof - model.info.body_pose_dof
+                if model.info.has_hands else 0)
+
+    stacked = np.asarray(idx.stacked)                          # (M, 3) vids
+    M = stacked.shape[0]
+    inst = stacked.reshape(-1)                                 # (M*3,)
+
+    w_eff = np.asarray(effective_weights(model))
+    v_shaped = (np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :nb],
+        betas64)).astype(np.float32)
+    jnts = (np.asarray(model.joint_template) + np.einsum(
+        "jcb,b->jc", np.asarray(model.joint_shapedirs)[..., :nb],
+        betas64)).astype(np.float32)
+    trel = jnts.copy()
+    for j in range(1, J):
+        trel[j] = jnts[j] - jnts[parents[j]]
+    anc = _ancestor_matrix(parents)                            # (K, J)
+
+    # per-marker tables, one 128-aligned band per marker so every lane index
+    # in the kernel is static (Mosaic forbids dynamic lane slicing)
+    def _lane_banded(tbl3, width):
+        rows, M_, k = tbl3.shape
+        out = np.zeros((rows, M_ * width), np.float32)
+        for m in range(M_):
+            out[:, m * width:m * width + k] = tbl3[:, m]
+        return out
+
+    wt3 = w_eff[inst].T.reshape(J, M, 3)
+    st3 = (w_eff[inst] @ anc).T.reshape(J, M, 3)
+    vsh3 = v_shaped[inst].T.reshape(3, M, 3)
+
+    pdN = 9 * (J - 1) if has_pb else 8
+    RB = 16                                                    # 9 rows used
+    pdrow = np.zeros((M * RB, pdN), np.float32)
+    J1 = max(J - 1, 1)
+    pdJ3 = np.zeros((J1, M, 81), np.float32)
+    if has_pb:
+        pd = np.asarray(model.posedirs)[inst]                  # (M*3,3,9(J-1))
+        for m in range(M):
+            pdrow[m * RB:m * RB + 9] = pd[m * 3:(m + 1) * 3].reshape(9, pdN)
+        pdJ3 = pd.reshape(M, 3, 3, J - 1, 3, 3).transpose(
+            3, 0, 1, 2, 4, 5).reshape(J - 1, M, 81)
+
+    CB = 8                                                     # 1 row used
+    cf = np.zeros((M * CB, 3), np.float32)
+    cf[::CB] = np.asarray(coeffs)
+
+    return MarkerJacTables(
+        lvl=jnp.asarray(_tree_level_masks(parents)),
+        par=jnp.asarray(_parent_onehot(parents)),
+        rootm=jnp.asarray([[1.0 if p < 0 else 0.0] for p in parents],
+                          jnp.float32),
+        jnts=jnp.asarray(jnts),
+        trel=jnp.asarray(trel),
+        ancT=jnp.asarray(anc.T, jnp.float32),
+        hc=jnp.asarray(model.hands_components, jnp.float32)
+        if hand_dof else jnp.zeros((1, 1), jnp.float32),
+        wT=jnp.asarray(_lane_banded(wt3, 128)),
+        sT=jnp.asarray(_lane_banded(st3, 128)),
+        vshT=jnp.asarray(_lane_banded(vsh3, 128)),
+        pdrow=jnp.asarray(pdrow),
+        pdJ=jnp.asarray(_lane_banded(pdJ3, 128)),
+        cf=jnp.asarray(cf),
+        hands_mean=jnp.asarray(model.hands_mean, jnp.float32)
+        if hand_dof else jnp.zeros((0,), jnp.float32),
+    )
+
+
+def marker_sim_and_jacobian(model: SurfaceModel,
+                            tables: MarkerJacTables,
+                            x: jnp.ndarray,
+                            interpret: bool = False):
+    """Fused markers + (trans, pose) Jacobian for a batch of frames.
+
+    x (F, 3+P) -> (sim (F, M, 3), jm (F, M, 3, 3+P)). Traceable: `tables`
+    leaves may be jit arguments; only `model`'s static attributes are read.
+    Exactly equivalent to `lbs_verts_and_jacobian` + `markers_and_jacobian`
+    (validated in tests/test_pallas_jac.py).
+
+    Two-kernel pipeline: `_smalls_kernel` runs once per 128-frame block;
+    `_marker_kernel` runs per (frame block, marker) with the smalls blocks
+    staying VMEM-resident across the marker-major grid sweep (splitting keeps
+    each program's live set far below the 16 MB VMEM budget — a single
+    unrolled kernel stack-allocates every marker's temporaries at once).
+    """
+    info = model.info
+    parents = model.parents
+    J = model.num_joints
+    has_pb = model.posedirs.shape[-1] > 0 and J > 1
+    body_dof = info.body_pose_dof
+    hand_dof = model.pose_dof - body_dof if info.has_hands else 0
+    P = model.pose_dof
+    D = 3 + P
+    M = tables.cf.shape[0] // 8
+    RB = 16
+    CB = 8
+    pdN = tables.pdrow.shape[1]
+    J1 = tables.pdJ.shape[0]
+    featN = (J - 1) * 9 if has_pb else 8
+
+    smalls_kern = functools.partial(_smalls_kernel, parents=parents,
+                                    has_pb=has_pb)
+    marker_kern = functools.partial(_marker_kernel, num_joints=J,
+                                    body_dof=body_dof, hand_dof=hand_dof,
+                                    has_pb=has_pb)
+    cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def call_kernels(theta3, trans2, Fp):
+        nf = Fp // BF
+        smalls = pl.pallas_call(
+            smalls_kern,
+            grid=(nf,),
+            out_shape=[
+                jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # grot
+                jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),   # atr
+                jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # wrot
+                jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # wtr
+                jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # dr
+                jax.ShapeDtypeStruct((featN, Fp), jnp.float32),  # feat
+            ],
+            in_specs=[
+                pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                cspec(), cspec(), cspec(), cspec(), cspec(),
+            ],
+            out_specs=[
+                pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
+          tables.trel)
+
+        sim_t, jm_t = pl.pallas_call(
+            marker_kern,
+            grid=(nf, M),
+            out_shape=[
+                jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
+                jax.ShapeDtypeStruct((M * 3, D, Fp), jnp.float32),
+            ],
+            in_specs=[
+                # smalls: frame-block only -> VMEM-resident across markers
+                pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                             memory_space=pltpu.VMEM),
+                # shared tables
+                cspec(), cspec(),
+                # per-marker bands
+                pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, D, BF), lambda fi, mi: (mi, 0, fi),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(*smalls, trans2, tables.ancT, tables.hc, tables.wT, tables.sT,
+          tables.vshT, tables.pdrow, tables.pdJ, tables.cf)
+        return sim_t, jm_t
+
+    F = x.shape[0]
+    Fp = -(-F // BF) * BF
+    x = jnp.pad(x.astype(jnp.float32), ((0, Fp - F), (0, 0)))
+    trans = x[:, :3]
+    pose = x[:, 3:3 + P]
+    if info.has_hands:
+        with jax.default_matmul_precision("highest"):
+            hands = tables.hands_mean + pose[:, body_dof:] @ tables.hc
+        fullpose = jnp.concatenate([pose[:, :body_dof], hands], axis=1)
+    else:
+        fullpose = pose
+    theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
+    trans2 = trans.T                                           # (3, Fp)
+    sim_t, jm_t = call_kernels(theta3, trans2, Fp)
+    sim = sim_t.transpose(2, 0, 1)[:F]
+    jm = jm_t.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
+    return sim, jm
+
+
+def build_marker_jacobian_fn(model: SurfaceModel,
+                             idx: MarkerFrameIndices,
+                             coeffs: jnp.ndarray,
+                             betas: jnp.ndarray,
+                             interpret: bool = False):
+    """Convenience wrapper: freeze tables and return fn(x) -> (sim, jm)."""
+    tables = prepare_marker_jac_tables(model, idx, coeffs, betas)
+    return functools.partial(marker_sim_and_jacobian, model, tables,
+                             interpret=interpret)

@@ -15,6 +15,7 @@ filesystem cache in `pipeline/jobs.py` for fleet-level retries.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -84,6 +85,9 @@ def mosh_stageii_solve_sharded(prob: StageIIProblem,
     # while-loop any()-reductions), all tiny and ICI-bound. The in-graph
     # straggler compaction gathers across the WHOLE batch, so it doubles as
     # cross-chip load balancing.
+    # pallas_call has no SPMD partitioning rule — the frame-sharded phase
+    # programs must assemble the GN system through the XLA einsum chain
+    opts = dataclasses.replace(opts, jac_backend="xla")
     res = mosh_stageii_solve(prob_d, opts, obs_d, mask_d, prior=prior_d,
                              model_type=model_type)
     return StageIIResult(*(np.asarray(v)[:F] for v in res))

@@ -56,6 +56,9 @@ from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
                                           pose_part_ids)
 from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
                                          markers_and_jacobian)
+from moshpp_tpu.ops.pallas_marker_jac import (MarkerJacTables,
+                                              marker_sim_and_jacobian,
+                                              prepare_marker_jac_tables)
 from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices, marker_coeffs,
                                              reconstruct_markers,
                                              select_frame_indices)
@@ -102,6 +105,12 @@ class StageIIOptions:
     # in-graph straggler compaction: run the full batch while > F/b frames
     # are active, then argsort-gather stragglers into an F/b bucket (per b)
     compact_buckets: Tuple[int, ...] = (4, 16)
+    # GN data-block backend: 'auto' = fused Pallas kernels on TPU, XLA
+    # einsum chain elsewhere; 'pallas' forces the kernel (interpret mode off
+    # TPU — slow, test-only); 'xla' forces the einsum chain (required for
+    # the frame-sharded multi-chip path: pallas_call has no SPMD
+    # partitioning rule).
+    jac_backend: str = "auto"
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -120,6 +129,8 @@ class StageIIProblem:
     frame_c2: jnp.ndarray
     coeffs: jnp.ndarray       # (M, 3) frozen latent-marker coefficients
     betas: jnp.ndarray        # (B,) frozen subject shape
+    # fused-kernel tables (ops/pallas_marker_jac); None disables the kernel
+    pallas_tables: Optional[MarkerJacTables] = None
 
     @property
     def indices(self) -> MarkerFrameIndices:
@@ -176,13 +187,22 @@ def prepare_stageii_problem(model: SurfaceModel,
     local = local.reshape(stacked.shape).astype(np.int32)
     sub_model = model.subset(union)
 
+    indices = MarkerFrameIndices(jnp.asarray(local[:, 0]),
+                                 jnp.asarray(local[:, 1]),
+                                 jnp.asarray(local[:, 2]))
+    tables = None
+    if opts.jac_backend != "xla":
+        tables = prepare_marker_jac_tables(
+            sub_model, indices, coeffs, betas[:opts.num_betas])
+
     return StageIIProblem(
         sub_model=sub_model,
-        frame_c0=jnp.asarray(local[:, 0]),
-        frame_c1=jnp.asarray(local[:, 1]),
-        frame_c2=jnp.asarray(local[:, 2]),
+        frame_c0=indices.c0,
+        frame_c1=indices.c1,
+        frame_c2=indices.c2,
         coeffs=coeffs,
         betas=betas,
+        pallas_tables=tables,
     )
 
 
@@ -468,6 +488,36 @@ def make_stageii_system(prob: StageIIProblem,
             B = jnp.einsum("mcd,mce->de", Jd, Jd)
         return _quad_terms(x, aux, g, B, f)
 
+    # The kernel bakes shaped rest vertices into its tables, so extra
+    # (dmpl/expression) dims — which perturb vertices per frame — need the
+    # generic path.
+    use_pallas = (
+        E == 0
+        and prob.pallas_tables is not None
+        and opts.jac_backend in ("auto", "pallas")
+        and (opts.jac_backend == "pallas" or jax.default_backend() == "tpu"))
+
+    def system_fn_batched(x, aux):
+        """Batched assembly with the fused Pallas marker-Jacobian kernels.
+
+        The data block (~65% of the per-iteration cost in the XLA chain) and
+        its NE contraction run fused; quadratic prior/regularizer terms are
+        vmapped per frame. The kernel is also the *more accurate* path
+        (full-f32 VPU vs the XLA chain's bf16x3 matmuls: 2.6e-6 m vs 2.2e-4 m
+        against float64 ground truth).
+        """
+        interp = jax.default_backend() != "tpu"
+        sim, Jm = marker_sim_and_jacobian(model, prob.pallas_tables,
+                                          x, interpret=interp)
+        wrow = aux["mask"] * aux["wt_data"][:, None]           # (N, M)
+        rd = (sim - aux["markers"]) * wrow[..., None]
+        Jd = Jm * wrow[..., None, None]
+        with jax.default_matmul_precision("high"):
+            f = jnp.sum(rd * rd, axis=(1, 2))
+            g = jnp.einsum("nmc,nmcd->nd", rd, Jd)
+            B = jnp.einsum("nmcd,nmce->nde", Jd, Jd)
+        return jax.vmap(_quad_terms)(x, aux, g, B, f)
+
     def cost_fn(x, aux):
         sim = simulate_markers(prob, opts, x)
         wrow = aux["mask"] * aux["wt_data"]
@@ -479,7 +529,8 @@ def make_stageii_system(prob: StageIIProblem,
         f, _, _ = _quad_terms(x, aux, zg, zB, f)
         return f
 
-    return GNSystem(system_fn, cost_fn)
+    return GNSystem(system_fn, cost_fn,
+                    system_fn_batched if use_pallas else None)
 
 
 def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,

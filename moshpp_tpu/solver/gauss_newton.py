@@ -81,9 +81,14 @@ class GNSystem(NamedTuple):
     system_fn(x, aux) -> (f, g, B): cost |r|^2, gradient Jᵀr (P,), GN
     Hessian JᵀJ (P, P) — all terms included.
     cost_fn(x, aux) -> f: cost only (for trial-point evaluation).
+    system_fn_batched: optional (x (N,P), aux) -> batched (f, g, B) —
+      used by `batched_system_solve` instead of vmapping `system_fn` when
+      the assembly is inherently batched (e.g. the Pallas marker-Jacobian
+      kernel, whose frame axis lives in the lane dimension).
     """
     system_fn: Callable
     cost_fn: Callable
+    system_fn_batched: Optional[Callable] = None
 
 
 class SolveResult(NamedTuple):
@@ -211,54 +216,90 @@ def _masked_system(g, B, mask):
     return g, B
 
 
+def _pre_step(s: _State, mask, g, B, opts: DoglegOptions):
+    """Per-problem: masked system -> dogleg step proposal."""
+    g, B = _masked_system(g, B, mask)
+    p, p_gn = _dogleg_step(g, B, s.delta, s.plin, opts)
+    p = p * mask
+    return g, B, p, p_gn
+
+
+def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
+               opts: DoglegOptions, e_3) -> _State:
+    """Per-problem: accept test, trust-region update, stopping flags."""
+    pred = -(2.0 * (g @ p) + p @ (B @ p))  # model reduction of f = rᵀr
+    actual = s.f - f_new
+    rho = actual / jnp.maximum(pred, 1e-30)
+
+    p_norm = jnp.linalg.norm(p)
+    accept = (rho > opts.accept_ratio) & jnp.isfinite(f_new)
+    # trust-region update (standard Nocedal-Wright schedule)
+    delta = jnp.where(
+        rho < 0.25,
+        0.25 * p_norm,
+        jnp.where((rho > 0.75) & (p_norm >= 0.99 * s.delta),
+                  jnp.minimum(2.0 * s.delta, opts.delta_max),
+                  s.delta),
+    )
+    delta = jnp.maximum(delta, opts.min_delta)
+
+    x = jnp.where(accept, x_new, s.x)
+    f = jnp.where(accept, f_new, s.f)
+
+    small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
+    tiny_cost = f <= opts.f_atol
+    tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
+    stalled = (~accept) & (delta <= opts.min_delta * 1.001)
+    done = small_improvement | stalled | tiny_cost | tiny_grad
+
+    # under batching the loop runs until ALL problems finish; freeze
+    # finished problems so extra iterations cannot perturb their results
+    frozen = s.done
+    keep = lambda old, new: jnp.where(frozen, old, new)
+    return _State(
+        x=keep(s.x, x), f=keep(s.f, f), delta=keep(s.delta, delta),
+        it=jnp.where(frozen, s.it, s.it + 1),
+        done=s.done | done,
+        converged=s.converged | (~frozen & (small_improvement | tiny_cost
+                                            | tiny_grad)),
+        plin=keep(s.plin, p_gn))
+
+
 def _body_one(system_fn, cost_fn, opts: DoglegOptions, e_3):
     """One dogleg iteration for one problem (to be vmapped)."""
 
     def body(s: _State, aux, mask) -> _State:
         f_cur, g, B = system_fn(s.x, aux)
-        g, B = _masked_system(g, B, mask)
-
-        p, p_gn = _dogleg_step(g, B, s.delta, s.plin, opts)
-        p = p * mask
+        g, B, p, p_gn = _pre_step(s, mask, g, B, opts)
         x_new = s.x + p
         f_new = cost_fn(x_new, aux)
+        return _post_step(s, g, B, p, p_gn, x_new, f_new, opts, e_3)
 
-        pred = -(2.0 * (g @ p) + p @ (B @ p))  # model reduction of f = rᵀr
-        actual = s.f - f_new
-        rho = actual / jnp.maximum(pred, 1e-30)
+    return body
 
-        p_norm = jnp.linalg.norm(p)
-        accept = (rho > opts.accept_ratio) & jnp.isfinite(f_new)
-        # trust-region update (standard Nocedal-Wright schedule)
-        delta = jnp.where(
-            rho < 0.25,
-            0.25 * p_norm,
-            jnp.where((rho > 0.75) & (p_norm >= 0.99 * s.delta),
-                      jnp.minimum(2.0 * s.delta, opts.delta_max),
-                      s.delta),
-        )
-        delta = jnp.maximum(delta, opts.min_delta)
 
-        x = jnp.where(accept, x_new, s.x)
-        f = jnp.where(accept, f_new, s.f)
+def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
+    """One dogleg iteration for the whole batch.
 
-        small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
-        tiny_cost = f <= opts.f_atol
-        tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
-        stalled = (~accept) & (delta <= opts.min_delta * 1.001)
-        done = small_improvement | stalled | tiny_cost | tiny_grad
+    The system assembly runs through `system_fn_batched` when provided (the
+    Pallas path — its frame axis lives in the lane dimension, so it must see
+    the batch whole); the per-problem step/accept math is vmapped around it.
+    """
+    if system.system_fn_batched is None:
+        return jax.vmap(_body_one(system.system_fn, system.cost_fn,
+                                  opts, e_3))
+    sys_b = system.system_fn_batched
+    cost_b = jax.vmap(system.cost_fn)
+    pre_b = jax.vmap(lambda s, m, g, B: _pre_step(s, m, g, B, opts))
+    post_b = jax.vmap(lambda s, g, B, p, pg, xn, fn_: _post_step(
+        s, g, B, p, pg, xn, fn_, opts, e_3))
 
-        # under batching the loop runs until ALL problems finish; freeze
-        # finished problems so extra iterations cannot perturb their results
-        frozen = s.done
-        keep = lambda old, new: jnp.where(frozen, old, new)
-        return _State(
-            x=keep(s.x, x), f=keep(s.f, f), delta=keep(s.delta, delta),
-            it=jnp.where(frozen, s.it, s.it + 1),
-            done=s.done | done,
-            converged=s.converged | (~frozen & (small_improvement | tiny_cost
-                                                | tiny_grad)),
-            plin=keep(s.plin, p_gn))
+    def body(s: _State, aux, mask) -> _State:
+        _, g, B = sys_b(s.x, aux)
+        g, B, p, p_gn = pre_b(s, mask, g, B)
+        x_new = s.x + p
+        f_new = cost_b(x_new, aux)
+        return post_b(s, g, B, p, p_gn, x_new, f_new)
 
     return body
 
@@ -376,8 +417,7 @@ def batched_system_solve(system: GNSystem,
     else:
         mask = param_mask.astype(x0.dtype)
 
-    body_one = _body_one(system.system_fn, system.cost_fn, opts, e_3)
-    body_batched = jax.vmap(body_one)
+    body_batched = _body_batched_fn(system, opts, e_3)
 
     def run_stage(carry, min_active):
         """Iterate while any problem is active and (if min_active > 0) more

@@ -1,0 +1,87 @@
+"""Cross-validation of the fused Pallas marker-Jacobian kernel against the
+XLA analytic path (ops/lbs_jacobian.py), itself validated against jacfwd.
+
+Runs in Pallas interpret mode so it works on the CPU test mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models import make_synthetic_model
+from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
+                                         markers_and_jacobian)
+from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                             select_frame_indices)
+from moshpp_tpu.ops.pallas_marker_jac import build_marker_jacobian_fn
+from moshpp_tpu.ops.surface import vertex_normals
+
+
+def _problem(model_type, rng, num_markers=7, dof_per_hand=6):
+    model = make_synthetic_model(model_type, num_verts=300, seed=4,
+                                 dof_per_hand=dof_per_hand)
+    nb = min(10, model.num_shape_dirs)
+    betas = (rng.normal(size=nb) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :nb], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], num_markers, replace=False)
+    latents = (can_v[vids] + vn[vids] * 0.0095).astype(np.float32)
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+    return model, betas, idx, coeffs
+
+
+def _reference(model, betas, idx, coeffs, x):
+    def one(xi):
+        P = model.pose_dof
+        r = lbs_verts_and_jacobian(model, xi[3:3 + P],
+                                   jnp.asarray(betas), xi[:3])
+        return markers_and_jacobian(r.verts, r.jac, idx, coeffs)
+    return jax.vmap(one)(x)
+
+
+@pytest.mark.parametrize("model_type", ["smplh", "smpl", "mano"])
+def test_matches_analytic_xla(rng, model_type):
+    model, betas, idx, coeffs = _problem(model_type, rng)
+    F = 5
+    x = jnp.asarray(
+        rng.normal(size=(F, 3 + model.pose_dof)).astype(np.float32) * 0.4)
+
+    fn = build_marker_jacobian_fn(model, idx, coeffs, betas,
+                                  interpret=True)
+    sim_p, jm_p = fn(x)
+    sim_r, jm_r = _reference(model, betas, idx, coeffs, x)
+
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_r),
+                               atol=2e-5)
+    scale = np.abs(np.asarray(jm_r)).max()
+    np.testing.assert_allclose(np.asarray(jm_p), np.asarray(jm_r),
+                               atol=3e-4 * max(scale, 1.0))
+
+
+def test_matches_at_zero_pose(rng):
+    model, betas, idx, coeffs = _problem("smplh", rng)
+    x = jnp.zeros((2, 3 + model.pose_dof), jnp.float32)
+    fn = build_marker_jacobian_fn(model, idx, coeffs, betas,
+                                  interpret=True)
+    sim_p, jm_p = fn(x)
+    sim_r, jm_r = _reference(model, betas, idx, coeffs, x)
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jm_p), np.asarray(jm_r), atol=3e-4)
+
+
+def test_uneven_marker_count_padding(rng):
+    """M not a multiple of the marker chunk exercises the padded tail."""
+    model, betas, idx, coeffs = _problem("smpl", rng, num_markers=5)
+    x = jnp.asarray(
+        rng.normal(size=(3, 3 + model.pose_dof)).astype(np.float32) * 0.3)
+    fn = build_marker_jacobian_fn(model, idx, coeffs, betas,
+                                  interpret=True)
+    sim_p, jm_p = fn(x)
+    sim_r, jm_r = _reference(model, betas, idx, coeffs, x)
+    assert sim_p.shape == (3, 5, 3)
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_r), atol=2e-5)
+    scale = np.abs(np.asarray(jm_r)).max()
+    np.testing.assert_allclose(np.asarray(jm_p), np.asarray(jm_r),
+                               atol=3e-4 * max(scale, 1.0))

@@ -116,3 +116,35 @@ class TestSystemMatchesResidual:
         prob, opts, x, aux = _setup("smpl", opts)
         prior = make_gmm_prior(dim=69, num_components=3, seed=6, scale=0.3)
         _check(prob, opts, prior, "smpl", x, aux)
+
+
+class TestPallasBatchedSystem:
+    def test_matches_per_frame_system(self, rng):
+        """The fused-kernel batched system must equal the per-frame XLA
+        system (same f, g, B) — forced through interpret mode on CPU."""
+        opts = StageIIOptions(optimize_fingers=True, jac_backend="pallas")
+        prob, opts, x1, aux1 = _setup("smplh", opts=opts, dof_per_hand=6)
+        prior = make_gmm_prior(dim=63, num_components=3, seed=0, scale=0.4)
+        system = make_stageii_system(prob, opts, prior, "smplh")
+        assert system.system_fn_batched is not None
+
+        N = 3
+        x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
+        aux = jax.tree.map(
+            lambda a: jnp.stack([a] * N) if hasattr(a, "shape") else a, aux1)
+        aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
+               for k, v in aux1.items()}
+
+        f_b, g_b, B_b = system.system_fn_batched(x, aux)
+        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
+                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
+        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
+                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
+
+    def test_dynamics_falls_back_to_xla(self, rng):
+        opts = StageIIOptions(optimize_dynamics=True, jac_backend="auto")
+        prob, opts, x1, aux1 = _setup("smplh", opts=opts, dof_per_hand=6)
+        system = make_stageii_system(prob, opts, None, "smplh")
+        assert system.system_fn_batched is None
