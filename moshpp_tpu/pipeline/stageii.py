@@ -56,7 +56,7 @@ from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
                                           pose_part_ids)
 from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
                                          markers_and_jacobian)
-from moshpp_tpu.ops.pallas_marker_jac import (MarkerJacTables,
+from moshpp_tpu.ops.pallas_marker_jac import (MarkerJacTables, marker_sim,
                                               marker_sim_and_jacobian,
                                               prepare_marker_jac_tables)
 from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices, marker_coeffs,
@@ -95,9 +95,17 @@ class StageIIOptions:
     e_3_polish: float = 1e-4   # final tight full-pose solve; the reference's
                                # loose per-step e_3=.01 relies on sequential
                                # warm starts the batched schedule doesn't have
+    e_3_anneal: float = 1e-3   # stopping tolerance of the anchor-pass
+                               # annealed prior solves (warm-start quality
+                               # only — later phases refine)
     linear_solver: str = "pcg"   # 'pcg' (matmul-only GN direction) or
                                  # 'cholesky' (exact; slower batched on TPU)
     cg_iters: int = 24
+    # polish direction: 'auto' = deep PCG (cg_iters_polish) via the Pallas
+    # PCG kernel on TPU — near-exact at a fraction of the batched-Cholesky
+    # cost — else Cholesky; 'cholesky' | 'pcg' force.
+    polish_solver: str = "auto"
+    cg_iters_polish: int = 64
     jac_precision: str = "high"  # 3-pass f32 Jacobians (generic path only)
     anchor_stride: int = 8       # hierarchical pass A: full first-frame
                                  # schedule on every S-th frame, slerped
@@ -529,8 +537,24 @@ def make_stageii_system(prob: StageIIProblem,
         f, _, _ = _quad_terms(x, aux, zg, zB, f)
         return f
 
+    def cost_fn_batched(x, aux):
+        interp = jax.default_backend() != "tpu"
+        sim = marker_sim(model, prob.pallas_tables, x, interpret=interp)
+        wrow = aux["mask"] * aux["wt_data"][:, None]
+        rd = (sim - aux["markers"]) * wrow[..., None]
+        f = jnp.sum(rd * rd, axis=(1, 2))
+
+        def quad_only(xi, auxi, fi):
+            zg = jnp.zeros(D, xi.dtype)
+            zB = jnp.zeros((D, D), xi.dtype)
+            fo, _, _ = _quad_terms(xi, auxi, zg, zB, fi)
+            return fo
+
+        return jax.vmap(quad_only)(x, aux, f)
+
     return GNSystem(system_fn, cost_fn,
-                    system_fn_batched if use_pallas else None)
+                    system_fn_batched if use_pallas else None,
+                    cost_fn_batched if use_pallas else None)
 
 
 def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,
@@ -675,10 +699,16 @@ def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: boo
                             linear_solver=opts.linear_solver,
                             cg_iters=opts.cg_iters,
                             jac_precision=opts.jac_precision)
-    # the polish phase chases e_3 = 1e-4 improvements — inexact CG directions
-    # stall there (accepted steps keep clearing the tiny threshold); the
-    # bulk phases tolerate inexactness, the polish gets the exact solve
-    dl_polish = dataclasses.replace(dl_opts, linear_solver="cholesky")
+    # the polish phase chases e_3 = 1e-4 improvements — shallow CG directions
+    # stall there (accepted steps keep clearing the tiny threshold); it gets
+    # either deep PCG (cheap via the Pallas kernel) or an exact Cholesky
+    polish_solver = opts.polish_solver
+    if polish_solver == "auto":
+        polish_solver = ("pcg" if (opts.jac_backend != "xla"
+                                   and jax.default_backend() == "tpu")
+                         else "cholesky")
+    dl_polish = dataclasses.replace(dl_opts, linear_solver=polish_solver,
+                                    cg_iters=opts.cg_iters_polish)
 
     def _system(prob, prior):
         return make_stageii_system(prob, opts, prior_call or prior, model_type)
@@ -838,7 +868,7 @@ def mosh_stageii_solve(prob: StageIIProblem,
 
         xa = fns["init"](prob, obs_a, msk_a)
         for scale in (10.0, 5.0, 1.0):  # first-frame schedule, chmosh.py:637
-            xa, _ = run("step", xa, aux_a(scale), step1_mask, 1e-3)
+            xa, _ = run("step", xa, aux_a(scale), step1_mask, opts.e_3_anneal)
         xa, _ = run("step", xa, aux_a(1.0), step2_mask, 1e-2)
 
         # rotation-aware interpolation between consecutive anchors
@@ -854,7 +884,8 @@ def mosh_stageii_solve(prob: StageIIProblem,
         x = fns["init"](prob, markers_obs, maskf)
         for scale in (10.0, 5.0, 1.0):
             x, _ = run("step", x, aux_for(F, markers_obs, maskf, wt_data,
-                                          anneal, scale), step1_mask, 1e-3)
+                                          anneal, scale), step1_mask,
+                       opts.e_3_anneal)
         reports.append(reports[-1])  # keep phase slots aligned (no anchor pass)
 
     # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)

@@ -68,6 +68,10 @@ class DoglegOptions:
     g_rtol: float = 1e-7       # gradient stop: |g| <= g_rtol * (1 + f)
     linear_solver: str = "cholesky"  # 'cholesky' | 'pcg'
     cg_iters: int = 24         # PCG iteration count (static, done-masked)
+    # 'auto': in the batched path on TPU the PCG direction runs as a Pallas
+    # kernel (solver/pallas_pcg.py — B resident in VMEM, frames in lanes,
+    # ~6x the XLA batched-matvec chain); 'xla' forces the matvec chain.
+    pcg_backend: str = "auto"
     # matmul precision for the Jacobian/normal-equation assembly. 'highest'
     # = full f32 (6-pass); 'high' (3-pass) halves Jacobian cost with ~1e-5
     # relative error — ample for GN *directions* (the trust region guards
@@ -85,10 +89,13 @@ class GNSystem(NamedTuple):
       used by `batched_system_solve` instead of vmapping `system_fn` when
       the assembly is inherently batched (e.g. the Pallas marker-Jacobian
       kernel, whose frame axis lives in the lane dimension).
+    cost_fn_batched: optional (x (N,P), aux) -> (N,) costs, same idea for
+      trial-point evaluation (the Pallas sim-only kernel).
     """
     system_fn: Callable
     cost_fn: Callable
     system_fn_batched: Optional[Callable] = None
+    cost_fn_batched: Optional[Callable] = None
 
 
 class SolveResult(NamedTuple):
@@ -165,22 +172,16 @@ def _gn_direction_pcg(g, B, plin, iters):
     return jnp.where(ok, x, jnp.zeros_like(g)), ok
 
 
-def _dogleg_step(g, B, delta, plin, opts: DoglegOptions):
-    """Dogleg step p minimizing the quadratic model within |p| <= delta.
+def _damp(B, opts: DoglegOptions):
+    """Tikhonov floor scaled by the mean diagonal."""
+    P = B.shape[0]
+    lam = opts.damping * (jnp.trace(B) / P + 1.0)
+    return B + lam * jnp.eye(P, dtype=B.dtype)
 
-    g: (P,) gradient of the |r|^2 model (Jᵀr); B: (P,P) GN Hessian (JᵀJ).
-    Returns (p (P,), p_gn (P,) for warm-starting the next linear solve).
-    """
-    P = g.shape[0]
-    eye = jnp.eye(P, dtype=g.dtype)
-    trace = jnp.trace(B)
-    lam = opts.damping * (trace / P + 1.0)
-    B = B + lam * eye
 
-    if opts.linear_solver == "pcg":
-        p_gn, ok = _gn_direction_pcg(g, B, plin, opts.cg_iters)
-    else:
-        p_gn, ok = _gn_direction_cholesky(g, B)
+def _dogleg_geometry(g, B, delta, p_gn, ok):
+    """Dogleg step within |p| <= delta given a (possibly failed) GN
+    direction. g/B already masked and damped."""
     gn_norm = jnp.where(ok, jnp.linalg.norm(p_gn), jnp.inf)
 
     # Cauchy (steepest-descent) point
@@ -199,14 +200,27 @@ def _dogleg_step(g, B, delta, plin, opts: DoglegOptions):
         t = (-b + jnp.sqrt(disc)) / (2.0 * a)
         return p_sd + jnp.clip(t, 0.0, 1.0) * d
 
-    p = jnp.where(
+    return jnp.where(
         (gn_norm <= delta) & ok,
         p_gn,
         jnp.where(sd_norm >= delta,
                   p_sd * (delta / (sd_norm + 1e-30)),
                   jnp.where(ok, on_segment(), p_sd)),
     )
-    return p, p_gn
+
+
+def _dogleg_step(g, B, delta, plin, opts: DoglegOptions):
+    """Dogleg step p minimizing the quadratic model within |p| <= delta.
+
+    g: (P,) gradient of the |r|^2 model (Jᵀr); B: (P,P) GN Hessian (JᵀJ).
+    Returns (p (P,), p_gn (P,) for warm-starting the next linear solve).
+    """
+    B = _damp(B, opts)
+    if opts.linear_solver == "pcg":
+        p_gn, ok = _gn_direction_pcg(g, B, plin, opts.cg_iters)
+    else:
+        p_gn, ok = _gn_direction_cholesky(g, B)
+    return _dogleg_geometry(g, B, delta, p_gn, ok), p_gn
 
 
 def _masked_system(g, B, mask):
@@ -214,6 +228,55 @@ def _masked_system(g, B, mask):
     g = g * mask
     B = B * (mask[:, None] * mask[None, :]) + jnp.diag(1.0 - mask)
     return g, B
+
+
+def _pre_step(s: _State, mask, g, B, opts: DoglegOptions):
+    """Per-problem: masked system -> dogleg step proposal."""
+    g, B = _masked_system(g, B, mask)
+    p, p_gn = _dogleg_step(g, B, s.delta, s.plin, opts)
+    p = p * mask
+    return g, B, p, p_gn
+
+
+def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
+               opts: DoglegOptions, e_3) -> _State:
+    """Per-problem: accept test, trust-region update, stopping flags."""
+    pred = -(2.0 * (g @ p) + p @ (B @ p))  # model reduction of f = rᵀr
+    actual = s.f - f_new
+    rho = actual / jnp.maximum(pred, 1e-30)
+
+    p_norm = jnp.linalg.norm(p)
+    accept = (rho > opts.accept_ratio) & jnp.isfinite(f_new)
+    # trust-region update (standard Nocedal-Wright schedule)
+    delta = jnp.where(
+        rho < 0.25,
+        0.25 * p_norm,
+        jnp.where((rho > 0.75) & (p_norm >= 0.99 * s.delta),
+                  jnp.minimum(2.0 * s.delta, opts.delta_max),
+                  s.delta),
+    )
+    delta = jnp.maximum(delta, opts.min_delta)
+
+    x = jnp.where(accept, x_new, s.x)
+    f = jnp.where(accept, f_new, s.f)
+
+    small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
+    tiny_cost = f <= opts.f_atol
+    tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
+    stalled = (~accept) & (delta <= opts.min_delta * 1.001)
+    done = small_improvement | stalled | tiny_cost | tiny_grad
+
+    # under batching the loop runs until ALL problems finish; freeze
+    # finished problems so extra iterations cannot perturb their results
+    frozen = s.done
+    keep = lambda old, new: jnp.where(frozen, old, new)
+    return _State(
+        x=keep(s.x, x), f=keep(s.f, f), delta=keep(s.delta, delta),
+        it=jnp.where(frozen, s.it, s.it + 1),
+        done=s.done | done,
+        converged=s.converged | (~frozen & (small_improvement | tiny_cost
+                                            | tiny_grad)),
+        plin=keep(s.plin, p_gn))
 
 
 def _pre_step(s: _State, mask, g, B, opts: DoglegOptions):
@@ -289,14 +352,28 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
         return jax.vmap(_body_one(system.system_fn, system.cost_fn,
                                   opts, e_3))
     sys_b = system.system_fn_batched
-    cost_b = jax.vmap(system.cost_fn)
-    pre_b = jax.vmap(lambda s, m, g, B: _pre_step(s, m, g, B, opts))
+    cost_b = system.cost_fn_batched or jax.vmap(system.cost_fn)
     post_b = jax.vmap(lambda s, g, B, p, pg, xn, fn_: _post_step(
         s, g, B, p, pg, xn, fn_, opts, e_3))
 
+    pallas_pcg = (opts.linear_solver == "pcg"
+                  and opts.pcg_backend == "auto"
+                  and jax.default_backend() == "tpu")
+    if pallas_pcg:
+        from moshpp_tpu.solver.pallas_pcg import pcg_direction_batched
+
+        def direction_b(s, mask, g, B):
+            g, B = jax.vmap(_masked_system)(g, B, mask)
+            B = jax.vmap(lambda b: _damp(b, opts))(B)
+            p_gn, ok = pcg_direction_batched(g, B, s.plin, opts.cg_iters)
+            p = jax.vmap(_dogleg_geometry)(g, B, s.delta, p_gn, ok)
+            return g, B, p * mask, p_gn
+    else:
+        direction_b = jax.vmap(lambda s, m, g, B: _pre_step(s, m, g, B, opts))
+
     def body(s: _State, aux, mask) -> _State:
         _, g, B = sys_b(s.x, aux)
-        g, B, p, p_gn = pre_b(s, mask, g, B)
+        g, B, p, p_gn = direction_b(s, mask, g, B)
         x_new = s.x + p
         f_new = cost_b(x_new, aux)
         return post_b(s, g, B, p, p_gn, x_new, f_new)
@@ -441,7 +518,7 @@ def batched_system_solve(system: GNSystem,
         return jax.lax.while_loop(cond, step, carry)
 
     with jax.default_matmul_precision("highest"):
-        f0 = jax.vmap(system.cost_fn)(x0, aux)
+        f0 = (system.cost_fn_batched or jax.vmap(system.cost_fn))(x0, aux)
         s = _init_state(x0, f0, opts)
 
         buckets = [N // b for b in compact_buckets if N // b >= 8]

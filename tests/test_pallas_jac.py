@@ -85,3 +85,17 @@ def test_uneven_marker_count_padding(rng):
     scale = np.abs(np.asarray(jm_r)).max()
     np.testing.assert_allclose(np.asarray(jm_p), np.asarray(jm_r),
                                atol=3e-4 * max(scale, 1.0))
+
+
+def test_sim_only_matches_full(rng):
+    from moshpp_tpu.ops.pallas_marker_jac import (marker_sim,
+                                                  prepare_marker_jac_tables,
+                                                  marker_sim_and_jacobian)
+    model, betas, idx, coeffs = _problem("smplh", rng)
+    tables = prepare_marker_jac_tables(model, idx, coeffs, betas)
+    x = jnp.asarray(
+        rng.normal(size=(4, 3 + model.pose_dof)).astype(np.float32) * 0.3)
+    sim_light = marker_sim(model, tables, x, interpret=True)
+    sim_full, _ = marker_sim_and_jacobian(model, tables, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(sim_light), np.asarray(sim_full),
+                               atol=1e-6)

@@ -223,3 +223,40 @@ class TestCompaction:
         res = run(targets)
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(targets),
                                    atol=1e-3)
+
+
+class TestPallasPCG:
+    def test_kernel_matches_xla_pcg(self, rng):
+        from moshpp_tpu.solver.gauss_newton import _gn_direction_pcg
+        from moshpp_tpu.solver.pallas_pcg import pcg_direction_batched
+        N, D = 5, 17
+        A = rng.normal(size=(N, D, D)).astype(np.float32)
+        B = jnp.asarray(A @ A.transpose(0, 2, 1) + 3.0 * np.eye(D))
+        g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        plin = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32) * 0.1)
+
+        p_k, ok_k = pcg_direction_batched(g, B, plin, iters=20,
+                                          interpret=True)
+        p_r, ok_r = jax.vmap(
+            lambda g, B, pl_: _gn_direction_pcg(g, B, pl_, 20))(g, B, plin)
+        np.testing.assert_array_equal(np.asarray(ok_k), np.asarray(ok_r))
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_r),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_deep_pcg_direction_contract(self, rng):
+        """What the dogleg needs from PCG: a finite descent direction that
+        decreases the quadratic model (f32 CG is not an exact solver —
+        chaotic drift past its round-off floor is safeguarded by the outer
+        trust region)."""
+        from moshpp_tpu.solver.pallas_pcg import pcg_direction_batched
+        N, D = 8, 12
+        A = rng.normal(size=(N, D, D)).astype(np.float32)
+        B = jnp.asarray(A @ A.transpose(0, 2, 1) + 1.0 * np.eye(D))
+        g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        p, ok = pcg_direction_batched(g, B, jnp.zeros_like(g), iters=48,
+                                      interpret=True)
+        p, ok = np.asarray(p), np.asarray(ok)
+        assert ok.all()
+        descent = np.einsum("nd,nd->n", np.asarray(g), p)
+        assert (descent < 0).all()
+        assert np.isfinite(p).all()
