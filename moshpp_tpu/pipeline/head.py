@@ -365,8 +365,19 @@ class MoSh:
             betas = np.zeros(cfg["surface_model.num_betas"], np.float32)
         prob = prepare_stageii_problem(
             model, betas, self.stagei_data["markers_latent"], opts=opts)
-        result = solve(prob, opts, obs, mask, prior=prior,
-                       model_type=model.model_type)
+        # per-phase per-objective telemetry, reference-style
+        # (chmosh.py:408-417, 662-707)
+        want_report = (mosh_stageii_func is None
+                       and cfg["moshpp.verbosity"] >= 1)
+        if want_report:
+            result, report = solve(prob, opts, obs, mask, prior=prior,
+                                   model_type=model.model_type,
+                                   return_report=True)
+            self.logger.info("stage-ii per-phase energies:\n%s",
+                             report.format_table())
+        else:
+            result = solve(prob, opts, obs, mask, prior=prior,
+                           model_type=model.model_type)
 
         labels_obs = [[l for l, m in zip(latent_labels, fm) if m] for fm in mask]
         stageii_data = {
