@@ -259,10 +259,19 @@ def mosh_stagei_solve(model: SurfaceModel,
         stacked = np.asarray(idx.stacked)
         vn_frozen = vertex_normals(can_v, model.faces)
 
-        # candidate faces per marker for the surface term
-        centroids = np.asarray(can_v)[faces_np].mean(axis=1)
-        d_cent = (np.linalg.norm(np.asarray(latents)[:, None] - centroids[None], axis=-1))
-        cand_faces = np.argsort(d_cent, axis=1)[:, :opts.surf_candidates]  # (M, K)
+        # candidate faces per marker for the surface term, ranked by EXACT
+        # point-triangle distance at the freeze state (host-side, 4x per
+        # stage-i) — centroid ranking can miss the true nearest face on
+        # dense meshes by ~0.2 mm (tests/test_scan2mesh.py measures this)
+        from moshpp_tpu.ops.point_mesh import closest_point_on_triangles
+        cv = np.asarray(can_v)
+        ta, tb, tc = (jnp.asarray(cv[faces_np[:, i]]) for i in range(3))
+        pj = jnp.asarray(latents)[:, None, :]
+        bary = closest_point_on_triangles(pj, ta[None], tb[None], tc[None])
+        cp = (bary[..., 0:1] * ta[None] + bary[..., 1:2] * tb[None]
+              + bary[..., 2:3] * tc[None])
+        d_exact = np.asarray(jnp.sum((pj - cp) ** 2, -1))     # (M, F)
+        cand_faces = np.argsort(d_exact, axis=1)[:, :opts.surf_candidates]
         cand_corner_vids = faces_np[cand_faces]                            # (M, K, 3)
 
         # vertex unions + local remaps

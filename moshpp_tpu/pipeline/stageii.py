@@ -95,7 +95,7 @@ class StageIIOptions:
     e_3_polish: float = 1e-4   # final tight full-pose solve; the reference's
                                # loose per-step e_3=.01 relies on sequential
                                # warm starts the batched schedule doesn't have
-    e_3_anneal: float = 1e-3   # stopping tolerance of the anchor-pass
+    e_3_anneal: float = 3e-3   # stopping tolerance of the anchor-pass
                                # annealed prior solves (warm-start quality
                                # only — later phases refine)
     linear_solver: str = "pcg"   # 'pcg' (matmul-only GN direction) or
@@ -105,7 +105,7 @@ class StageIIOptions:
     # PCG kernel on TPU — near-exact at a fraction of the batched-Cholesky
     # cost — else Cholesky; 'cholesky' | 'pcg' force.
     polish_solver: str = "auto"
-    cg_iters_polish: int = 64
+    cg_iters_polish: int = 128
     jac_precision: str = "high"  # 3-pass f32 Jacobians (generic path only)
     anchor_stride: int = 8       # hierarchical pass A: full first-frame
                                  # schedule on every S-th frame, slerped
@@ -520,10 +520,12 @@ def make_stageii_system(prob: StageIIProblem,
         wrow = aux["mask"] * aux["wt_data"][:, None]           # (N, M)
         rd = (sim - aux["markers"]) * wrow[..., None]
         Jd = Jm * wrow[..., None, None]
-        with jax.default_matmul_precision("high"):
-            f = jnp.sum(rd * rd, axis=(1, 2))
+        # 'high' (bf16x3) for the normal equations; cost f in full f32
+        # (the e_3 stopping test compares f across iterations)
+        with jax.default_matmul_precision(opts.jac_precision):
             g = jnp.einsum("nmc,nmcd->nd", rd, Jd)
             B = jnp.einsum("nmcd,nmce->nde", Jd, Jd)
+        f = jnp.sum(rd * rd, axis=(1, 2))
         return jax.vmap(_quad_terms)(x, aux, g, B, f)
 
     def cost_fn(x, aux):

@@ -62,6 +62,48 @@ def prior():
     return make_gmm_prior(dim=63, num_components=4, seed=1, scale=0.3)
 
 
+class TestFastSpin:
+    def test_fast_root_spin_recovered(self, model, prior, rng):
+        """A fast continuous root spin: between stride-8 anchors the body
+        rotates 120 deg, where linear axis-angle interpolation of warm
+        starts degrades — the slerp anchor interpolation
+        (ops/rodrigues.slerp_axis_angle) must keep recovery <= 1 mm."""
+        F, M = 32, 16
+        truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
+                            pose_scale=0.1)
+        # overwrite the root with a fast continuous spin about +z
+        P = model.pose_dof
+        poses = truth["poses"].copy()
+        # 15 deg/frame = 1800 deg/s at 120 fps (5x the 360 deg/s spec bar);
+        # the stride-8 anchor gap is then a 120-degree rotation — squarely in
+        # the regime where linear axis-angle warm starts land badly
+        w = 2.0 * np.pi / 24.0
+        poses[:, 0:3] = 0.0
+        poses[:, 2] = ((np.arange(F) * w + np.pi) % (2 * np.pi)) - np.pi
+        idx = select_frame_indices(
+            jnp.asarray(np.asarray(model.v_template) + np.einsum(
+                "vcb,b->vc", np.asarray(model.shapedirs)[..., :model.num_betas],
+                truth["betas"])),
+            jnp.asarray(truth["latents"]))
+        coeffs = marker_coeffs(jnp.asarray(
+            np.asarray(model.v_template) + np.einsum(
+                "vcb,b->vc", np.asarray(model.shapedirs)[..., :model.num_betas],
+                truth["betas"])), jnp.asarray(truth["latents"]), idx)
+
+        def sim(p, t):
+            verts = lbs_forward(model, p, jnp.asarray(truth["betas"]), t)
+            return reconstruct_markers(verts, idx, coeffs)
+
+        obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses),
+                                       jnp.asarray(truth["trans"])))
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        opts = StageIIOptions(maxiter=80, smoothing_sweeps=1, anchor_stride=8)
+        res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),
+                                 prior=prior, model_type="smplh")
+        err_mm = float(np.mean(np.asarray(res.data_err))) * 1000.0
+        assert err_mm <= 1.0, f"fast-spin recovery {err_mm:.3f} mm"
+
+
 class TestStageII:
     def test_recovers_markers_below_1mm(self, model, prior, rng):
         truth = _make_truth(model, num_markers=16, num_frames=12, rng=rng)
