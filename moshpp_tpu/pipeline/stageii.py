@@ -801,7 +801,8 @@ def mosh_stageii_solve(prob: StageIIProblem,
                        prior: Optional[MaxMixturePrior] = None,
                        model_type: Optional[str] = None,
                        jit_solve: bool = True,
-                       return_report: bool = False):
+                       return_report: bool = False,
+                       on_phase=None):
     """Solve all frames. markers_obs (F, M, 3) in meters, mask (F, M) bool.
 
     The schedule runs as a sequence of jitted per-phase solves (cached across
@@ -810,6 +811,12 @@ def mosh_stageii_solve(prob: StageIIProblem,
     with a frame-axis `NamedSharding` (see parallel/sharding.py) — the same
     phase programs then run SPMD with XLA-inserted collectives, and the
     in-graph compaction argsort doubles as cross-chip load balancing.
+
+    `on_phase(phase_name, x, markers_sim)` is an optional per-phase hook
+    (headless stand-in for the reference's live visualization at
+    verbosity > 1, chmosh.py:516-519) — see
+    `tools/visualization.phase_snapshot_writer`. It forces a host sync per
+    phase; leave None in production.
 
     Returns a StageIIResult, or (StageIIResult, StageIIReport) when
     `return_report=True`.
@@ -848,10 +855,13 @@ def mosh_stageii_solve(prob: StageIIProblem,
 
     reports = []
 
-    def run(step_key, x, aux, pmask, e3):
+    def run(step_key, x, aux, pmask, e3, name=None):
         x, its, eb, ea = fns[step_key](prob, prior_arrays, x, aux,
                                        pmask, jnp.float32(e3))
         reports.append((eb, ea, its))
+        if on_phase is not None and name is not None:
+            sim = jax.vmap(lambda xi: simulate_markers(prob, opts, xi))(x)
+            on_phase(name, np.asarray(x), np.asarray(sim))
         return x, its
 
     step1_mask, step2_mask = _param_masks(model, opts, model_type)
@@ -870,8 +880,10 @@ def mosh_stageii_solve(prob: StageIIProblem,
 
         xa = fns["init"](prob, obs_a, msk_a)
         for scale in (10.0, 5.0, 1.0):  # first-frame schedule, chmosh.py:637
-            xa, _ = run("step", xa, aux_a(scale), step1_mask, opts.e_3_anneal)
-        xa, _ = run("step", xa, aux_a(1.0), step2_mask, 1e-2)
+            xa, _ = run("step", xa, aux_a(scale), step1_mask,
+                        opts.e_3_anneal, name=f"anneal{scale:g}")
+        xa, _ = run("step", xa, aux_a(1.0), step2_mask, 1e-2,
+                    name="anchor_step2")
 
         # rotation-aware interpolation between consecutive anchors
         seg = np.minimum(np.searchsorted(anchor_ids, np.arange(F), "right") - 1,
@@ -887,13 +899,13 @@ def mosh_stageii_solve(prob: StageIIProblem,
         for scale in (10.0, 5.0, 1.0):
             x, _ = run("step", x, aux_for(F, markers_obs, maskf, wt_data,
                                           anneal, scale), step1_mask,
-                       opts.e_3_anneal)
+                       opts.e_3_anneal, name=f"anneal{scale:g}")
         reports.append(reports[-1])  # keep phase slots aligned (no anchor pass)
 
     # step 1: trans + body at e_3 = .01 (chmosh.py:669-671)
-    x, _ = run("step", x, aux_full, step1_mask, 1e-2)
+    x, _ = run("step", x, aux_full, step1_mask, 1e-2, name="step1")
     # step 2: full pose (chmosh.py:703-705)
-    x, _ = run("step", x, aux_full, step2_mask, 1e-2)
+    x, _ = run("step", x, aux_full, step2_mask, 1e-2, name="step2")
 
     # ---- pass B: Jacobi smoothing sweeps (velocity + dmpl extrapolation) ---
     # the sequential pose_t ~ 2 pose_{t-1} - pose_{t-2} coupling
@@ -901,7 +913,8 @@ def mosh_stageii_solve(prob: StageIIProblem,
     # computed in-graph from the previous sweep's solutions
     sweep_reports = []
     for _ in range(opts.smoothing_sweeps):
-        x, _ = run("step_velo", x, aux_full, step2_mask, 1e-2)
+        x, _ = run("step_velo", x, aux_full, step2_mask, 1e-2,
+                   name="sweep")
         sweep_reports.append(reports.pop())
     # one "sweeps" phase slot: energies before sweep 1, after the last sweep
     if sweep_reports:
@@ -916,7 +929,8 @@ def mosh_stageii_solve(prob: StageIIProblem,
     if opts.e_3_polish is not None:
         use_velo = opts.smoothing_sweeps > 0 and F > 2
         x, iters = run("polish_velo" if use_velo else "polish",
-                       x, aux_full, step2_mask, opts.e_3_polish)
+                       x, aux_full, step2_mask, opts.e_3_polish,
+                       name="polish")
     else:
         reports.append(reports[-1])
 

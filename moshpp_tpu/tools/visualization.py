@@ -129,3 +129,93 @@ def export_pose_estimate(model, result, out_dir: str, every: int = 10) -> None:
                                        jnp.asarray(result.trans[t])))
         write_ply(os.path.join(out_dir, f"frame_{t:05d}.ply"), verts,
                   np.asarray(model.faces))
+
+
+def play_mocap_trajectories(markers: np.ndarray,
+                            out_html: str,
+                            labels: Optional[list] = None,
+                            frame_rate: float = 120.0,
+                            title: str = "mocap trajectories") -> str:
+    """Write a self-contained interactive HTML player for marker
+    trajectories — the headless equivalent of the reference's OpenGL
+    `play_mocap_trajectories` (mocap_interface.py:305). No dependencies:
+    embedded data + a small canvas renderer (drag to orbit, space to
+    play/pause, scrub bar). Returns the output path.
+    """
+    m = np.asarray(markers, np.float32)
+    assert m.ndim == 3 and m.shape[-1] == 3, "markers must be (F, M, 3)"
+    nan_mask = ~np.isfinite(m).all(-1) | (np.abs(m) < 1e-9).all(-1)
+    center = np.nanmean(np.where(nan_mask[..., None], np.nan, m),
+                        axis=(0, 1))
+    center = np.where(np.isfinite(center), center, 0.0)
+    data = {
+        "frames": np.where(nan_mask[..., None], np.float32(np.nan),
+                           m - center).round(4).tolist(),
+        "labels": list(labels) if labels is not None else
+        [f"m{i}" for i in range(m.shape[1])],
+        "fps": float(frame_rate),
+        "title": title,
+    }
+    import json as _json
+    html = """<!doctype html><meta charset="utf-8"><title>%TITLE%</title>
+<style>body{margin:0;background:#111;color:#ccc;font:13px monospace}
+canvas{display:block}#hud{position:fixed;top:8px;left:8px}
+#bar{position:fixed;bottom:8px;left:8px;right:8px}</style>
+<canvas id=c></canvas><div id=hud></div>
+<input id=bar type=range min=0 value=0 step=1>
+<script>
+const D=%DATA%;const F=D.frames.length,M=D.frames[0].length;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+const bar=document.getElementById('bar');bar.max=F-1;
+let t=0,playing=true,ry=0.6,rx=0.3,zoom=280,last=0;
+function resize(){cv.width=innerWidth;cv.height=innerHeight-30}
+addEventListener('resize',resize);resize();
+function draw(){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,cv.width,cv.height);
+ const cy=Math.cos(ry),sy=Math.sin(ry),cx=Math.cos(rx),sx=Math.sin(rx);
+ const fr=D.frames[t];ctx.fillStyle='#e44';
+ for(let i=0;i<M;i++){const p=fr[i];if(!isFinite(p[0]))continue;
+  const X=p[0]*cy+p[2]*sy, Z=-p[0]*sy+p[2]*cy;
+  const Y=p[1]*cx-Z*sx;
+  ctx.beginPath();
+  ctx.arc(cv.width/2+X*zoom,cv.height/2-Y*zoom,3,0,7);ctx.fill();}
+ document.getElementById('hud').textContent=
+  D.title+'  frame '+t+'/'+(F-1)+'  ('+D.fps+' fps, space=pause, drag=orbit, wheel=zoom)';
+ bar.value=t;}
+function tick(ts){if(playing&&ts-last>1000/D.fps){t=(t+1)%F;last=ts}
+ draw();requestAnimationFrame(tick)}
+requestAnimationFrame(tick);
+let drag=null;
+cv.onmousedown=e=>drag=[e.clientX,e.clientY];
+onmouseup=()=>drag=null;
+onmousemove=e=>{if(drag){ry+=(e.clientX-drag[0])*0.01;
+ rx+=(e.clientY-drag[1])*0.01;drag=[e.clientX,e.clientY]}};
+onwheel=e=>zoom*=e.deltaY<0?1.1:0.9;
+onkeydown=e=>{if(e.code==='Space'){playing=!playing;e.preventDefault()}};
+bar.oninput=()=>{t=+bar.value;playing=false};
+</script>"""
+    html = html.replace("%TITLE%", title).replace("%DATA%", _json.dumps(data))
+    os.makedirs(os.path.dirname(os.path.abspath(out_html)), exist_ok=True)
+    with open(out_html, "w") as f:
+        f.write(html)
+    return out_html
+
+
+def phase_snapshot_writer(out_dir: str, every: int = 1):
+    """An `on_phase` callback for `mosh_stageii_solve`: dumps the simulated
+    markers after each solve phase as npz snapshots — the headless stand-in
+    for the reference's live `visualize_pose_estimate` windows
+    (tools/visualization.py:96-128, enabled at verbosity > 1).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    state = {"n": 0}
+
+    def on_phase(phase_name: str, x, markers_sim) -> None:
+        state["n"] += 1
+        if (state["n"] - 1) % every:
+            return
+        np.savez(os.path.join(out_dir,
+                              f"{state['n']:02d}_{phase_name}.npz"),
+                 x=np.asarray(x), markers_sim=np.asarray(markers_sim))
+
+    return on_phase

@@ -145,3 +145,54 @@ class TestVisualization:
         c3 = read_c3d(c3d_out)
         assert c3.labels == ["A", "B", "C"]
         assert c3.num_frames == 100
+
+
+class TestVisualizationExtras:
+    def test_play_mocap_trajectories_html(self, tmp_path, rng):
+        from moshpp_tpu.tools.visualization import play_mocap_trajectories
+        markers = rng.normal(size=(20, 8, 3)).astype(np.float32)
+        markers[3, 2] = 0.0                      # missing marker
+        out = play_mocap_trajectories(markers, str(tmp_path / "traj.html"),
+                                      labels=[f"L{i}" for i in range(8)],
+                                      frame_rate=60.0)
+        html = open(out).read()
+        assert "<canvas" in html and '"fps": 60.0' in html
+        assert '"L7"' in html
+
+    def test_phase_snapshot_hook(self, tmp_path, rng):
+        import jax.numpy as jnp
+        from moshpp_tpu.models import make_synthetic_model, lbs_forward
+        from moshpp_tpu.ops.marker_transform import (
+            marker_coeffs, reconstruct_markers, select_frame_indices)
+        from moshpp_tpu.ops.surface import vertex_normals
+        from moshpp_tpu.pipeline.stageii import (StageIIOptions,
+                                                 mosh_stageii_solve,
+                                                 prepare_stageii_problem)
+        from moshpp_tpu.tools.visualization import phase_snapshot_writer
+
+        model = make_synthetic_model("smpl", num_verts=200, seed=2)
+        betas = (rng.normal(size=10) * 0.3).astype(np.float32)
+        can_v = np.asarray(model.v_template) + np.einsum(
+            "vcb,b->vc", np.asarray(model.shapedirs)[..., :10], betas)
+        vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+        vids = rng.choice(200, 8, replace=False)
+        latents = can_v[vids] + vn[vids] * 0.0095
+        idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+        coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+        F = 6
+        poses = rng.normal(size=(F, model.pose_dof)).astype(np.float32) * 0.1
+        trans = rng.normal(size=(F, 3)).astype(np.float32) * 0.05
+        obs = np.stack([np.asarray(reconstruct_markers(lbs_forward(
+            model, jnp.asarray(poses[t]), jnp.asarray(betas),
+            jnp.asarray(trans[t])), idx, coeffs)) for t in range(F)])
+
+        opts = StageIIOptions(maxiter=10, smoothing_sweeps=1, num_betas=10,
+                              anchor_stride=1, jac_backend="xla")
+        prob = prepare_stageii_problem(model, betas, latents, opts=opts)
+        hook = phase_snapshot_writer(str(tmp_path / "snaps"))
+        mosh_stageii_solve(prob, opts, obs, np.ones((F, 8), bool),
+                           model_type="smpl", on_phase=hook)
+        snaps = sorted((tmp_path / "snaps").glob("*.npz"))
+        assert len(snaps) >= 5                    # one per phase
+        d = np.load(snaps[-1])
+        assert d["markers_sim"].shape == (F, 8, 3)
