@@ -111,8 +111,9 @@ class StageIIOptions:
                                  # schedule on every S-th frame, slerped
                                  # warm starts in between (1 = every frame)
     # in-graph straggler compaction: run the full batch while > F/b frames
-    # are active, then argsort-gather stragglers into an F/b bucket (per b)
-    compact_buckets: Tuple[int, ...] = (4, 16)
+    # are active, then argsort-gather stragglers into an F/b bucket (per b);
+    # the early F/2 stage catches the fast half of the batch (+14% measured)
+    compact_buckets: Tuple[int, ...] = (2, 8, 32)
     # GN data-block backend: 'auto' = fused Pallas kernels on TPU, XLA
     # einsum chain elsewhere; 'pallas' forces the kernel (interpret mode off
     # TPU — slow, test-only); 'xla' forces the einsum chain (required for

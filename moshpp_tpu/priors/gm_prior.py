@@ -34,3 +34,32 @@ def fit_graphical_lasso_prior(pose_samples: np.ndarray,
     chol = np.linalg.cholesky(prec)
     return MahalanobisPrior(mean=jnp.asarray(mean, jnp.float32),
                             prec=jnp.asarray(chol, jnp.float32))
+
+
+class SubjectPriorCache:
+    """Per-subject graphical-lasso priors with the reference's cache
+    semantics (`gm_prior_ch.py:45-78`): a 'Generic' prior fitted over the
+    whole corpus, plus lazily-fitted per-subject priors built from the
+    samples whose names contain the subject id — falling back to Generic
+    when fewer than `min_samples` match.
+    """
+
+    def __init__(self, pose_samples: np.ndarray, sample_names,
+                 min_samples: int = 3, use_sklearn: bool = True):
+        self._samples = np.asarray(pose_samples)
+        self._names = [str(n).lower() for n in sample_names]
+        self._min = min_samples
+        self._sk = use_sklearn
+        self._cache = {"Generic": fit_graphical_lasso_prior(
+            self._samples, use_sklearn=use_sklearn)}
+
+    def __getitem__(self, subject_id: str) -> MahalanobisPrior:
+        if subject_id not in self._cache:
+            sel = [i for i, n in enumerate(self._names)
+                   if subject_id.lower() in n]
+            if len(sel) < self._min:
+                self._cache[subject_id] = self._cache["Generic"]
+            else:
+                self._cache[subject_id] = fit_graphical_lasso_prior(
+                    self._samples[sel], use_sklearn=self._sk)
+        return self._cache[subject_id]

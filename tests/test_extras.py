@@ -276,3 +276,23 @@ class TestGraftEntry:
         assert np.all(np.isfinite(np.asarray(out)))
         if len(jax.devices()) >= 4:
             g.dryrun_multichip(4)
+
+
+class TestSubjectPriorCache:
+    def test_generic_fallback_and_subject_fit(self, rng):
+        from moshpp_tpu.priors.gm_prior import SubjectPriorCache
+        D = 6
+        samples = rng.normal(size=(40, D)).astype(np.float64)
+        names = ([f"alice_take{i}" for i in range(20)]
+                 + [f"bob_take{i}" for i in range(18)]
+                 + ["carol_only", "carol_extra"])
+        cache = SubjectPriorCache(samples, names, use_sklearn=False)
+        alice = cache["Alice"]          # case-insensitive, >= 3 samples
+        assert alice is not cache["Generic"]
+        assert alice is cache["Alice"]  # cached
+        # carol has < 3 samples -> Generic fallback
+        assert cache["carol"] is cache["Generic"]
+        from moshpp_tpu.priors.mahalanobis import mahalanobis_residual
+        r = np.asarray(mahalanobis_residual(
+            alice, jnp.asarray(samples[0], jnp.float32)))
+        assert r.shape == (D,) and np.isfinite(r).all()
