@@ -41,7 +41,7 @@ def _reference(model, betas, idx, coeffs, x):
     return jax.vmap(one)(x)
 
 
-@pytest.mark.parametrize("model_type", ["smplh", "smpl", "mano"])
+@pytest.mark.parametrize("model_type", ["smplh", "smpl", "mano", "smplx", "animal_horse"])
 def test_matches_analytic_xla(rng, model_type):
     model, betas, idx, coeffs = _problem(model_type, rng)
     F = 5
