@@ -600,6 +600,344 @@ def marker_sim(model: SurfaceModel,
     return sim_t.transpose(2, 0, 1)[:F]
 
 
+def _marker_jac_w_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                   feat_ref, trans_ref,
+                   ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
+                   pdJ_ref, cf_ref, wo_ref,
+                   rw_ref, jm_ref,
+                   *, num_joints, body_dof, hand_dof, has_pb):
+    """One (frame-block, marker) program.
+
+    Smalls blocks depend only on the frame index, so Mosaic keeps them
+    VMEM-resident across the marker-major grid sweep; per-marker tables are
+    128-aligned bands so every lane index is static (Mosaic forbids dynamic
+    lane slicing).
+    """
+    J = num_joints
+
+    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
+    A_tr = [atr_ref[a] for a in range(3)]
+    W_rot = [[[wrot_ref[(a * 3 + b) * 3 + t] for t in range(3)]
+              for b in range(3)] for a in range(3)]
+    W_tr = [[wtr_ref[a * 3 + t] for t in range(3)] for a in range(3)]
+    dR = [[[dr_ref[(a * 3 + b) * 3 + t] for b in range(3)]
+           for a in range(3)] for t in range(3)]
+    if has_pb:
+        feat = feat_ref[:]                                     # (9(J-1), BF)
+    trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]      # (1, BF)
+    ancT = ancT_ref[:]
+    hc = hc_ref[:] if hand_dof else None
+    wT = wT_ref[:]                                             # (J, 128)
+    sT = sT_ref[:]
+    vshT = vshT_ref[:]                                         # (3, 128)
+    if has_pb:
+        pdJb = pdJ_ref[:]                                      # (J-1, 128)
+
+    verts = []
+    Jp = []
+    for k in range(3):
+        wcol = wT[:, k:k + 1]                                  # (J, 1)
+        scol = sT[:, k:k + 1]
+        vsh = vshT[:, k:k + 1]                                 # (3, 1)
+        if has_pb:
+            pd3 = pdrow_ref[pl.ds(k * 3, 3), :]                # (3, 9(J-1))
+            pb = _dotc(pd3, feat)                              # (3, BF)
+            vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
+        else:
+            vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
+                  for c in range(3)]
+
+        # z_b = A_rot[b] @ v_posed + A_tr[b]; y = w * z; S = ancT @ y
+        zb = [sum(G_rot[b][c] * vp[c] for c in range(3)) + A_tr[b]
+              for b in range(3)]
+        ycat = jnp.concatenate([wcol * zb[b] for b in range(3)], axis=1)
+        Scat = _dotc(ancT, ycat)                               # (J, 3*BF)
+        S = [Scat[:, b * BF:(b + 1) * BF] for b in range(3)]
+
+        # T_rot / T_tr for this vertex (weighted skinning transform)
+        Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
+                 for c in range(3)] for a in range(3)]
+        Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
+               for a in range(3)]
+
+        # J_fk[a][t] (J, BF) = W_rot S + s W_tr (+ T_rot dvp)
+        Jf = [[sum(W_rot[a][b][t] * S[b] for b in range(3))
+               + scol * W_tr[a][t]
+               for t in range(3)] for a in range(3)]
+        if has_pb:
+            dvp = [[sum(pdJb[:, k * 27 + c * 9 + a * 3 + b:
+                             k * 27 + c * 9 + a * 3 + b + 1]
+                        * dR[t][a][b][1:, :]
+                        for a in range(3) for b in range(3))
+                    for t in range(3)] for c in range(3)]
+            for a in range(3):
+                for t in range(3):
+                    t3 = sum(Trot[a][c] * dvp[c][t] for c in range(3))
+                    Jf[a][t] = jnp.concatenate(
+                        [Jf[a][t][:1, :], Jf[a][t][1:, :] + t3], axis=0)
+
+        # column order (j, t) -> optimization pose vector
+        Jrows = []
+        for a in range(3):
+            JJ = jnp.stack([Jf[a][0], Jf[a][1], Jf[a][2]],
+                           axis=1).reshape(3 * J, BF)
+            if hand_dof:
+                Jh = _dotc(hc, JJ[body_dof:3 * J, :])
+                JJ = jnp.concatenate([JJ[:body_dof, :], Jh], axis=0)
+            Jrows.append(JJ)                                   # (P_out, BF)
+        Jp.append(Jrows)
+
+        v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
+             for b in range(3)]
+        verts.append(v)
+
+    # ---- local-frame reconstruction + its vertex Jacobian -------------------
+    cfb = cf_ref[pl.ds(0, 1), :]                               # (1, 3)
+    c1, c2, c3 = cfb[:, 0:1], cfb[:, 1:2], cfb[:, 2:3]
+    v0, v1, v2 = verts
+    e1 = [v1[b] - v0[b] for b in range(3)]
+    e2 = [v2[b] - v0[b] for b in range(3)]
+    n1 = jnp.sqrt(sum(e * e for e in e1) + _EPS)
+    f1 = [e / n1 for e in e1]
+    cz = [e1[1] * e2[2] - e1[2] * e2[1],
+          e1[2] * e2[0] - e1[0] * e2[2],
+          e1[0] * e2[1] - e1[1] * e2[0]]
+    n2 = jnp.sqrt(sum(c * c for c in cz) + _EPS)
+    f2 = [c / n2 for c in cz]
+    f3 = [f1[1] * f2[2] - f1[2] * f2[1],
+          f1[2] * f2[0] - f1[0] * f2[2],
+          f1[0] * f2[1] - f1[1] * f2[0]]
+    sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
+    wo = wo_ref[:]                                             # (8, BF)
+    wrow = wo[0:1, :]
+    rw = [(sim[b] - wo[1 + b:2 + b, :]) * wrow for b in range(3)]
+    rw_ref[0, :, :] = jnp.concatenate(rw, axis=0)
+
+    # d f / d e blocks (exact for the eps-guarded normalization)
+    inv1, inv2 = 1.0 / n1, 1.0 / n2
+    M1 = [[((1.0 if a == b else 0.0) - f1[a] * f1[b]) * inv1
+           for b in range(3)] for a in range(3)]
+    M2 = [[((1.0 if a == b else 0.0) - f2[a] * f2[b]) * inv2
+           for b in range(3)] for a in range(3)]
+    C1 = [[-x for x in row] for row in _skew(e2)]              # d cz / d e1
+    C2 = _skew(e1)                                             # d cz / d e2
+    A1 = _mat3mul(M2, C1)
+    A2 = _mat3mul(M2, C2)
+    S1m = _skew(f1)
+    S2m = _skew(f2)
+    B1 = _mat3mul(S1m, A1)
+    B2 = _mat3mul(S1m, A2)
+    N1 = _mat3mul(S2m, M1)
+    dm1 = [[c1 * M1[a][b] + c2 * A1[a][b] + c3 * (B1[a][b] - N1[a][b])
+            for b in range(3)] for a in range(3)]
+    dm2 = [[c2 * A2[a][b] + c3 * B2[a][b] for b in range(3)]
+           for a in range(3)]
+    dm0 = [[(1.0 if a == b else 0.0) - dm1[a][b] - dm2[a][b]
+            for b in range(3)] for a in range(3)]
+    dms = [dm0, dm1, dm2]
+
+    for c in range(3):
+        row = sum(dms[k][c][d] * Jp[k][d]
+                  for k in range(3) for d in range(3))         # (P_out, BF)
+        tcol = jnp.concatenate(
+            [jnp.full((1, BF), 1.0 if c == j else 0.0, row.dtype)
+             for j in range(3)], axis=0)
+        jm_ref[c, :, :] = jnp.concatenate([tcol, row], axis=0) * wrow
+
+
+def _sim_smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                       trel_ref,
+                       grot_ref, atr_ref, feat_ref,
+                       *, parents, has_pb):
+    """Sim-only smalls: rodrigues + tree FK (no derivative chain)."""
+    J = len(parents)
+    L = lvl_ref.shape[0]
+    th = [theta_ref[t] for t in range(3)]
+    R, _ = _rodrigues_rows(*th)
+
+    trel = [trel_ref[:, c:c + 1] for c in range(3)]
+    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
+    G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
+    G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
+    par = par_ref[:]
+    for lev in range(L):
+        flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
+        gp = _gather_rows(par, flat)
+        gp_rot = [[gp[a * 3 + b] for b in range(3)] for a in range(3)]
+        gp_tr = gp[9:]
+        m = lvl_ref[lev][:, None]
+        new_rot = [[sum(gp_rot[a][k] * R[k][b] for k in range(3))
+                    for b in range(3)] for a in range(3)]
+        new_tr = [sum(gp_rot[a][k] * trel[k] for k in range(3)) + gp_tr[a]
+                  for a in range(3)]
+        for a in range(3):
+            for b in range(3):
+                G_rot[a][b] = m * new_rot[a][b] + (1.0 - m) * G_rot[a][b]
+            G_tr[a] = m * new_tr[a] + (1.0 - m) * G_tr[a]
+
+    A_tr = [G_tr[a] - sum(G_rot[a][b] * jnts[b] for b in range(3))
+            for a in range(3)]
+    for a in range(3):
+        for b in range(3):
+            grot_ref[a * 3 + b, :, :] = G_rot[a][b]
+        atr_ref[a, :, :] = A_tr[a]
+    if has_pb:
+        feats = [R[a][b][1:, :] - (1.0 if a == b else 0.0)
+                 for a in range(3) for b in range(3)]
+        feat_ref[:, :] = jnp.stack(feats, axis=1).reshape((J - 1) * 9, BF)
+    else:
+        feat_ref[:, :] = jnp.zeros_like(feat_ref)
+
+
+def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
+                       wT_ref, vshT_ref, pdrow_ref, cf_ref,
+                       sim_ref,
+                       *, num_joints, has_pb):
+    """Sim-only per-marker program: skinning + local-frame reconstruction."""
+    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
+    A_tr = [atr_ref[a] for a in range(3)]
+    if has_pb:
+        feat = feat_ref[:]
+    trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]
+    wT = wT_ref[:]
+    vshT = vshT_ref[:]
+
+    verts = []
+    for k in range(3):
+        wcol = wT[:, k:k + 1]
+        vsh = vshT[:, k:k + 1]
+        if has_pb:
+            pd3 = pdrow_ref[pl.ds(k * 3, 3), :]
+            pb = _dotc(pd3, feat)
+            vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
+        else:
+            vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
+                  for c in range(3)]
+        Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
+                 for c in range(3)] for a in range(3)]
+        Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
+               for a in range(3)]
+        v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
+             for b in range(3)]
+        verts.append(v)
+
+    cfb = cf_ref[pl.ds(0, 1), :]
+    c1, c2, c3 = cfb[:, 0:1], cfb[:, 1:2], cfb[:, 2:3]
+    v0, v1, v2 = verts
+    e1 = [v1[b] - v0[b] for b in range(3)]
+    e2 = [v2[b] - v0[b] for b in range(3)]
+    n1 = jnp.sqrt(sum(e * e for e in e1) + _EPS)
+    f1 = [e / n1 for e in e1]
+    cz = [e1[1] * e2[2] - e1[2] * e2[1],
+          e1[2] * e2[0] - e1[0] * e2[2],
+          e1[0] * e2[1] - e1[1] * e2[0]]
+    n2 = jnp.sqrt(sum(c * c for c in cz) + _EPS)
+    f2 = [c / n2 for c in cz]
+    f3 = [f1[1] * f2[2] - f1[2] * f2[1],
+          f1[2] * f2[0] - f1[0] * f2[2],
+          f1[0] * f2[1] - f1[1] * f2[0]]
+    sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
+    wo = wo_ref[:]                                             # (8, BF)
+    wrow = wo[0:1, :]
+    rw = [(sim[b] - wo[1 + b:2 + b, :]) * wrow for b in range(3)]
+    rw_ref[0, :, :] = jnp.concatenate(rw, axis=0)
+
+
+def marker_sim(model: SurfaceModel,
+               tables: MarkerJacTables,
+               x: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    """Fused simulated markers only: x (F, 3+P) -> sim (F, M, 3).
+
+    The light path for trial-point cost evaluation inside the dogleg loop —
+    same math as `marker_sim_and_jacobian`'s primal, no derivative chain.
+    """
+    info = model.info
+    parents = model.parents
+    J = model.num_joints
+    has_pb = model.posedirs.shape[-1] > 0 and J > 1
+    body_dof = info.body_pose_dof
+    P = model.pose_dof
+    M = tables.cf.shape[0] // 8
+    RB = 16
+    CB = 8
+    pdN = tables.pdrow.shape[1]
+    featN = (J - 1) * 9 if has_pb else 8
+
+    smalls_kern = functools.partial(_sim_smalls_kernel, parents=parents,
+                                    has_pb=has_pb)
+    marker_kern = functools.partial(_sim_marker_kernel, num_joints=J,
+                                    has_pb=has_pb)
+    cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    F = x.shape[0]
+    Fp = -(-F // BF) * BF
+    x = jnp.pad(x.astype(jnp.float32), ((0, Fp - F), (0, 0)))
+    trans = x[:, :3]
+    pose = x[:, 3:3 + P]
+    if info.has_hands:
+        with jax.default_matmul_precision("highest"):
+            hands = tables.hands_mean + pose[:, body_dof:] @ tables.hc
+        fullpose = jnp.concatenate([pose[:, :body_dof], hands], axis=1)
+    else:
+        fullpose = pose
+    theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
+    trans2 = trans.T
+
+    nf = Fp // BF
+    smalls = pl.pallas_call(
+        smalls_kern,
+        grid=(nf,),
+        out_shape=[
+            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            cspec(), cspec(), cspec(), cspec(), cspec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts, tables.trel)
+
+    sim_t = pl.pallas_call(
+        marker_kern,
+        grid=(nf, M),
+        out_shape=jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*smalls, trans2, tables.wT, tables.vshT, tables.pdrow, tables.cf)
+    return sim_t.transpose(2, 0, 1)[:F]
+
+
 def prepare_marker_jac_tables(model: SurfaceModel,
                               idx: MarkerFrameIndices,
                               coeffs: jnp.ndarray,
@@ -832,3 +1170,144 @@ def build_marker_jacobian_fn(model: SurfaceModel,
     tables = prepare_marker_jac_tables(model, idx, coeffs, betas)
     return functools.partial(marker_sim_and_jacobian, model, tables,
                              interpret=interpret)
+
+
+def marker_resid_and_wjac(model: SurfaceModel,
+                          tables: MarkerJacTables,
+                          x: jnp.ndarray,
+                          obs: jnp.ndarray,
+                          wrow: jnp.ndarray,
+                          interpret: bool = False):
+    """Weighted-data variant of `marker_sim_and_jacobian`.
+
+    x (F, 3+P), obs (F, M, 3), wrow (F, M) -> (rw (F, M, 3),
+    jw (F, M, 3, 3+P)) where rw = (sim - obs) * wrow and jw = J * wrow —
+    the Gauss-Newton data rows, pre-weighted in-kernel (no (F, M, 3, D)
+    weighting pass in XLA).
+    """
+    info = model.info
+    parents = model.parents
+    J = model.num_joints
+    has_pb = model.posedirs.shape[-1] > 0 and J > 1
+    body_dof = info.body_pose_dof
+    hand_dof = model.pose_dof - body_dof if info.has_hands else 0
+    P = model.pose_dof
+    D = 3 + P
+    M = tables.cf.shape[0] // 8
+    RB = 16
+    CB = 8
+    pdN = tables.pdrow.shape[1]
+    J1 = tables.pdJ.shape[0]
+    featN = (J - 1) * 9 if has_pb else 8
+
+    F = x.shape[0]
+    Fp = -(-F // BF) * BF
+    x = jnp.pad(x.astype(jnp.float32), ((0, Fp - F), (0, 0)))
+    # wo rows per marker: [w, obs_x, obs_y, obs_z, 0, 0, 0, 0]
+    wo = jnp.zeros((M, 8, Fp), jnp.float32)
+    wo = wo.at[:, 0, :F].set(wrow.astype(jnp.float32).T)
+    wo = wo.at[:, 1:4, :F].set(obs.astype(jnp.float32).transpose(1, 2, 0))
+    wo = wo.reshape(M * 8, Fp)
+
+    trans = x[:, :3]
+    pose = x[:, 3:3 + P]
+    if info.has_hands:
+        with jax.default_matmul_precision("highest"):
+            hands = tables.hands_mean + pose[:, body_dof:] @ tables.hc
+        fullpose = jnp.concatenate([pose[:, :body_dof], hands], axis=1)
+    else:
+        fullpose = pose
+    theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
+    trans2 = trans.T
+
+    smalls_kern = functools.partial(_smalls_kernel, parents=parents,
+                                    has_pb=has_pb)
+    marker_kern = functools.partial(_marker_jac_w_kernel, num_joints=J,
+                                    body_dof=body_dof, hand_dof=hand_dof,
+                                    has_pb=has_pb)
+    cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    nf = Fp // BF
+    smalls = pl.pallas_call(
+        smalls_kern,
+        grid=(nf,),
+        out_shape=[
+            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            cspec(), cspec(), cspec(), cspec(), cspec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts, tables.trel)
+
+    rw_t, jm_t = pl.pallas_call(
+        marker_kern,
+        grid=(nf, M),
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((M * 3, D, Fp), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            cspec(), cspec(),
+            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, BF), lambda fi, mi: (mi, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, D, BF), lambda fi, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(*smalls, trans2, tables.ancT, tables.hc, tables.wT, tables.sT,
+      tables.vshT, tables.pdrow, tables.pdJ, tables.cf, wo)
+    rw = rw_t.transpose(2, 0, 1)[:F]
+    jw = jm_t.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
+    return rw, jw

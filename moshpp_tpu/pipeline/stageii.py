@@ -57,6 +57,7 @@ from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
 from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
                                          markers_and_jacobian)
 from moshpp_tpu.ops.pallas_marker_jac import (MarkerJacTables, marker_sim,
+                                              marker_resid_and_wjac,
                                               marker_sim_and_jacobian,
                                               prepare_marker_jac_tables)
 from moshpp_tpu.ops.marker_transform import (MarkerFrameIndices, marker_coeffs,
@@ -120,6 +121,9 @@ class StageIIOptions:
     # the frame-sharded multi-chip path: pallas_call has no SPMD
     # partitioning rule).
     jac_backend: str = "auto"
+    # fold the per-frame data weights + residual into the marker kernel
+    # (skips the (F, M, 3, D) weighting pass over the Jacobian)
+    fold_weights: bool = False
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -516,11 +520,16 @@ def make_stageii_system(prob: StageIIProblem,
         against float64 ground truth).
         """
         interp = jax.default_backend() != "tpu"
-        sim, Jm = marker_sim_and_jacobian(model, prob.pallas_tables,
-                                          x, interpret=interp)
         wrow = aux["mask"] * aux["wt_data"][:, None]           # (N, M)
-        rd = (sim - aux["markers"]) * wrow[..., None]
-        Jd = Jm * wrow[..., None, None]
+        if opts.fold_weights:
+            rd, Jd = marker_resid_and_wjac(model, prob.pallas_tables, x,
+                                           aux["markers"], wrow,
+                                           interpret=interp)
+        else:
+            sim, Jm = marker_sim_and_jacobian(model, prob.pallas_tables,
+                                              x, interpret=interp)
+            rd = (sim - aux["markers"]) * wrow[..., None]
+            Jd = Jm * wrow[..., None, None]
         # 'high' (bf16x3) for the normal equations; cost f in full f32
         # (the e_3 stopping test compares f across iterations)
         with jax.default_matmul_precision(opts.jac_precision):

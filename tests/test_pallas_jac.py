@@ -99,3 +99,25 @@ def test_sim_only_matches_full(rng):
     sim_full, _ = marker_sim_and_jacobian(model, tables, x, interpret=True)
     np.testing.assert_allclose(np.asarray(sim_light), np.asarray(sim_full),
                                atol=1e-6)
+
+
+def test_weighted_variant_matches(rng):
+    from moshpp_tpu.ops.pallas_marker_jac import (marker_resid_and_wjac,
+                                                  marker_sim_and_jacobian,
+                                                  prepare_marker_jac_tables)
+    model, betas, idx, coeffs = _problem("smplh", rng)
+    tables = prepare_marker_jac_tables(model, idx, coeffs, betas)
+    F, M = 4, 7
+    x = jnp.asarray(
+        rng.normal(size=(F, 3 + model.pose_dof)).astype(np.float32) * 0.3)
+    obs = jnp.asarray(rng.normal(size=(F, M, 3)).astype(np.float32))
+    wrow = jnp.asarray(rng.uniform(0.5, 3.0, size=(F, M)).astype(np.float32))
+    wrow = wrow.at[1, 2].set(0.0)                 # a missing marker
+
+    rw, jw = marker_resid_and_wjac(model, tables, x, obs, wrow,
+                                   interpret=True)
+    sim, jm = marker_sim_and_jacobian(model, tables, x, interpret=True)
+    rw_ref = (np.asarray(sim) - np.asarray(obs)) * np.asarray(wrow)[..., None]
+    jw_ref = np.asarray(jm) * np.asarray(wrow)[..., None, None]
+    np.testing.assert_allclose(np.asarray(rw), rw_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jw), jw_ref, atol=1e-5)
