@@ -745,199 +745,6 @@ def _marker_jac_w_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
         jm_ref[c, :, :] = jnp.concatenate([tcol, row], axis=0) * wrow
 
 
-def _sim_smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
-                       trel_ref,
-                       grot_ref, atr_ref, feat_ref,
-                       *, parents, has_pb):
-    """Sim-only smalls: rodrigues + tree FK (no derivative chain)."""
-    J = len(parents)
-    L = lvl_ref.shape[0]
-    th = [theta_ref[t] for t in range(3)]
-    R, _ = _rodrigues_rows(*th)
-
-    trel = [trel_ref[:, c:c + 1] for c in range(3)]
-    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
-    G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
-    G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
-    par = par_ref[:]
-    for lev in range(L):
-        flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
-        gp = _gather_rows(par, flat)
-        gp_rot = [[gp[a * 3 + b] for b in range(3)] for a in range(3)]
-        gp_tr = gp[9:]
-        m = lvl_ref[lev][:, None]
-        new_rot = [[sum(gp_rot[a][k] * R[k][b] for k in range(3))
-                    for b in range(3)] for a in range(3)]
-        new_tr = [sum(gp_rot[a][k] * trel[k] for k in range(3)) + gp_tr[a]
-                  for a in range(3)]
-        for a in range(3):
-            for b in range(3):
-                G_rot[a][b] = m * new_rot[a][b] + (1.0 - m) * G_rot[a][b]
-            G_tr[a] = m * new_tr[a] + (1.0 - m) * G_tr[a]
-
-    A_tr = [G_tr[a] - sum(G_rot[a][b] * jnts[b] for b in range(3))
-            for a in range(3)]
-    for a in range(3):
-        for b in range(3):
-            grot_ref[a * 3 + b, :, :] = G_rot[a][b]
-        atr_ref[a, :, :] = A_tr[a]
-    if has_pb:
-        feats = [R[a][b][1:, :] - (1.0 if a == b else 0.0)
-                 for a in range(3) for b in range(3)]
-        feat_ref[:, :] = jnp.stack(feats, axis=1).reshape((J - 1) * 9, BF)
-    else:
-        feat_ref[:, :] = jnp.zeros_like(feat_ref)
-
-
-def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
-                       wT_ref, vshT_ref, pdrow_ref, cf_ref,
-                       sim_ref,
-                       *, num_joints, has_pb):
-    """Sim-only per-marker program: skinning + local-frame reconstruction."""
-    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
-    A_tr = [atr_ref[a] for a in range(3)]
-    if has_pb:
-        feat = feat_ref[:]
-    trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]
-    wT = wT_ref[:]
-    vshT = vshT_ref[:]
-
-    verts = []
-    for k in range(3):
-        wcol = wT[:, k:k + 1]
-        vsh = vshT[:, k:k + 1]
-        if has_pb:
-            pd3 = pdrow_ref[pl.ds(k * 3, 3), :]
-            pb = _dotc(pd3, feat)
-            vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
-        else:
-            vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
-                  for c in range(3)]
-        Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
-                 for c in range(3)] for a in range(3)]
-        Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
-               for a in range(3)]
-        v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
-             for b in range(3)]
-        verts.append(v)
-
-    cfb = cf_ref[pl.ds(0, 1), :]
-    c1, c2, c3 = cfb[:, 0:1], cfb[:, 1:2], cfb[:, 2:3]
-    v0, v1, v2 = verts
-    e1 = [v1[b] - v0[b] for b in range(3)]
-    e2 = [v2[b] - v0[b] for b in range(3)]
-    n1 = jnp.sqrt(sum(e * e for e in e1) + _EPS)
-    f1 = [e / n1 for e in e1]
-    cz = [e1[1] * e2[2] - e1[2] * e2[1],
-          e1[2] * e2[0] - e1[0] * e2[2],
-          e1[0] * e2[1] - e1[1] * e2[0]]
-    n2 = jnp.sqrt(sum(c * c for c in cz) + _EPS)
-    f2 = [c / n2 for c in cz]
-    f3 = [f1[1] * f2[2] - f1[2] * f2[1],
-          f1[2] * f2[0] - f1[0] * f2[2],
-          f1[0] * f2[1] - f1[1] * f2[0]]
-    sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
-    wo = wo_ref[:]                                             # (8, BF)
-    wrow = wo[0:1, :]
-    rw = [(sim[b] - wo[1 + b:2 + b, :]) * wrow for b in range(3)]
-    rw_ref[0, :, :] = jnp.concatenate(rw, axis=0)
-
-
-def marker_sim(model: SurfaceModel,
-               tables: MarkerJacTables,
-               x: jnp.ndarray,
-               interpret: bool = False) -> jnp.ndarray:
-    """Fused simulated markers only: x (F, 3+P) -> sim (F, M, 3).
-
-    The light path for trial-point cost evaluation inside the dogleg loop —
-    same math as `marker_sim_and_jacobian`'s primal, no derivative chain.
-    """
-    info = model.info
-    parents = model.parents
-    J = model.num_joints
-    has_pb = model.posedirs.shape[-1] > 0 and J > 1
-    body_dof = info.body_pose_dof
-    P = model.pose_dof
-    M = tables.cf.shape[0] // 8
-    RB = 16
-    CB = 8
-    pdN = tables.pdrow.shape[1]
-    featN = (J - 1) * 9 if has_pb else 8
-
-    smalls_kern = functools.partial(_sim_smalls_kernel, parents=parents,
-                                    has_pb=has_pb)
-    marker_kern = functools.partial(_sim_marker_kernel, num_joints=J,
-                                    has_pb=has_pb)
-    cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    F = x.shape[0]
-    Fp = -(-F // BF) * BF
-    x = jnp.pad(x.astype(jnp.float32), ((0, Fp - F), (0, 0)))
-    trans = x[:, :3]
-    pose = x[:, 3:3 + P]
-    if info.has_hands:
-        with jax.default_matmul_precision("highest"):
-            hands = tables.hands_mean + pose[:, body_dof:] @ tables.hc
-        fullpose = jnp.concatenate([pose[:, :body_dof], hands], axis=1)
-    else:
-        fullpose = pose
-    theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
-    trans2 = trans.T
-
-    nf = Fp // BF
-    smalls = pl.pallas_call(
-        smalls_kern,
-        grid=(nf,),
-        out_shape=[
-            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
-        ],
-        in_specs=[
-            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            cspec(), cspec(), cspec(), cspec(), cspec(),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((featN, BF), lambda fi: (0, fi),
-                         memory_space=pltpu.VMEM),
-        ],
-        interpret=interpret,
-    )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts, tables.trel)
-
-    sim_t = pl.pallas_call(
-        marker_kern,
-        grid=(nf, M),
-        out_shape=jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*smalls, trans2, tables.wT, tables.vshT, tables.pdrow, tables.cf)
-    return sim_t.transpose(2, 0, 1)[:F]
-
-
 def prepare_marker_jac_tables(model: SurfaceModel,
                               idx: MarkerFrameIndices,
                               coeffs: jnp.ndarray,

@@ -279,55 +279,6 @@ def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
         plin=keep(s.plin, p_gn))
 
 
-def _pre_step(s: _State, mask, g, B, opts: DoglegOptions):
-    """Per-problem: masked system -> dogleg step proposal."""
-    g, B = _masked_system(g, B, mask)
-    p, p_gn = _dogleg_step(g, B, s.delta, s.plin, opts)
-    p = p * mask
-    return g, B, p, p_gn
-
-
-def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
-               opts: DoglegOptions, e_3) -> _State:
-    """Per-problem: accept test, trust-region update, stopping flags."""
-    pred = -(2.0 * (g @ p) + p @ (B @ p))  # model reduction of f = rᵀr
-    actual = s.f - f_new
-    rho = actual / jnp.maximum(pred, 1e-30)
-
-    p_norm = jnp.linalg.norm(p)
-    accept = (rho > opts.accept_ratio) & jnp.isfinite(f_new)
-    # trust-region update (standard Nocedal-Wright schedule)
-    delta = jnp.where(
-        rho < 0.25,
-        0.25 * p_norm,
-        jnp.where((rho > 0.75) & (p_norm >= 0.99 * s.delta),
-                  jnp.minimum(2.0 * s.delta, opts.delta_max),
-                  s.delta),
-    )
-    delta = jnp.maximum(delta, opts.min_delta)
-
-    x = jnp.where(accept, x_new, s.x)
-    f = jnp.where(accept, f_new, s.f)
-
-    small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
-    tiny_cost = f <= opts.f_atol
-    tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
-    stalled = (~accept) & (delta <= opts.min_delta * 1.001)
-    done = small_improvement | stalled | tiny_cost | tiny_grad
-
-    # under batching the loop runs until ALL problems finish; freeze
-    # finished problems so extra iterations cannot perturb their results
-    frozen = s.done
-    keep = lambda old, new: jnp.where(frozen, old, new)
-    return _State(
-        x=keep(s.x, x), f=keep(s.f, f), delta=keep(s.delta, delta),
-        it=jnp.where(frozen, s.it, s.it + 1),
-        done=s.done | done,
-        converged=s.converged | (~frozen & (small_improvement | tiny_cost
-                                            | tiny_grad)),
-        plin=keep(s.plin, p_gn))
-
-
 def _body_one(system_fn, cost_fn, opts: DoglegOptions, e_3):
     """One dogleg iteration for one problem (to be vmapped)."""
 
