@@ -22,7 +22,6 @@ the TPU-native equivalents:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
@@ -105,11 +104,12 @@ def mosh_stageii_solve_multihost(prob: StageIIProblem,
     prob_d = jax.device_put(prob, repl)
     prior_d = jax.device_put(prior, repl) if prior is not None else None
 
-    # same cached phase programs as the single-host path; pallas has no SPMD
-    # partitioning rule, so the sharded program uses the XLA system assembly
-    opts = dataclasses.replace(opts, jac_backend="xla")
+    # same cached phase programs as the single-host path; the dogleg solves
+    # run under shard_map (stageii._shard_solve), so the Pallas kernels run
+    # unchanged on each chip's local frames — ICI within a slice, DCN only
+    # for the velocity-halo and interp collectives outside the solve loops
     res = mosh_stageii_solve(prob_d, opts, obs_g, mask_g, prior=prior_d,
-                             model_type=model_type)
+                             model_type=model_type, mesh=mesh)
 
     def local(a):
         shards = [s.data for s in a.addressable_shards]

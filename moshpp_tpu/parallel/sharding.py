@@ -15,7 +15,6 @@ filesystem cache in `pipeline/jobs.py` for fleet-level retries.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -79,15 +78,16 @@ def mosh_stageii_solve_sharded(prob: StageIIProblem,
     prob_d = jax.device_put(prob, repl)
     prior_d = jax.device_put(prior, repl) if prior is not None else prior
 
-    # same cached per-phase programs as the single-chip path: with
-    # frame-sharded inputs XLA compiles them SPMD — collectives appear only
-    # where frames couple (velocity-anchor halo shifts, compaction argsort,
-    # while-loop any()-reductions), all tiny and ICI-bound. The in-graph
-    # straggler compaction gathers across the WHOLE batch, so it doubles as
-    # cross-chip load balancing.
-    # pallas_call has no SPMD partitioning rule — the frame-sharded phase
-    # programs must assemble the GN system through the XLA einsum chain
-    opts = dataclasses.replace(opts, jac_backend="xla")
+    # Same cached per-phase programs as the single-chip path, but the dogleg
+    # solves run under `jax.shard_map` over the frame axis (stageii._shard_solve):
+    # the Pallas marker-Jacobian and PCG kernels — which have no SPMD
+    # partitioning rule under auto-sharded jit — run unchanged on each
+    # shard's LOCAL frames, so per-chip throughput matches the single-chip
+    # kernel path. Straggler compaction and while-loop termination are
+    # shard-local (no per-iteration cross-chip sync); only the velocity
+    # anchors (computed on the global array, outside shard_map) and the
+    # anchor-interpolation gathers cross shard boundaries, via the tiny
+    # collectives XLA inserts.
     res = mosh_stageii_solve(prob_d, opts, obs_d, mask_d, prior=prior_d,
-                             model_type=model_type)
+                             model_type=model_type, mesh=mesh)
     return StageIIResult(*(np.asarray(v)[:F] for v in res))

@@ -701,8 +701,11 @@ def _hashable_opts(opts: StageIIOptions):
 _PHASE_FNS_CACHE: Dict = {}
 
 
-def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: bool):
-    key = (_hashable_opts(opts), model_type, prior_call, jit_solve)
+def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: bool,
+               mesh=None):
+    key = (_hashable_opts(opts), model_type, prior_call, jit_solve,
+           None if mesh is None else (tuple(mesh.shape.items()),
+                                      tuple(d.id for d in mesh.devices.flat)))
     if key in _PHASE_FNS_CACHE:
         return _PHASE_FNS_CACHE[key]
 
@@ -740,12 +743,66 @@ def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: boo
         return (velo_anchor * velo_on[:, None], velo_on,
                 extra_anchor * extra_on[:, None], extra_on)
 
+    def _shard_solve(prob, prior, x, aux, pmask, e3, dl):
+        """Run the batched solve under `shard_map` over the frame axis.
+
+        Each shard runs the full dogleg schedule — Pallas kernels, in-graph
+        compaction, while-loop termination — on its LOCAL frames with zero
+        cross-chip traffic inside the loop (pallas_call has no SPMD
+        partitioning rule under auto-sharded jit, which is why the sharded
+        path previously had to fall back to the XLA einsum chain). Frame
+        couplings (velocity anchors) are computed by the caller on the
+        global array and arrive pre-sharded in `aux`.
+        """
+        axis = mesh.axis_names[0]
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        F = x.shape[0]
+        pad = (-F) % n_dev
+        if pad:
+            # pad with all-missing frames: availability-driven weights make
+            # them converge immediately; sliced away below
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            def _pad(a):
+                if a.ndim and a.shape[0] == F:
+                    return jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                return a
+            aux = jax.tree.map(_pad, aux)
+
+        P_ = jax.sharding.PartitionSpec
+        shard = P_(axis)
+        repl = P_()
+
+        def local_solve(prob_, prior_, x_, aux_, pmask_, e3_):
+            system = make_stageii_system(prob_, opts, prior_call or prior_,
+                                         model_type)
+            r = batched_system_solve(system, x_, aux_, dl, param_mask=pmask_,
+                                     e_3=e3_,
+                                     compact_buckets=opts.compact_buckets)
+            return r.x, r.iterations
+
+        aux_specs = jax.tree.map(lambda _: shard, aux)
+        # check_vma=False: the dogleg while_loop seeds its carry from
+        # replicated zeros but the body produces shard-varying values —
+        # semantically fine (each shard loops independently), but the
+        # varying-manual-axes type check rejects the mixed carry
+        xs, its = jax.shard_map(
+            local_solve, mesh=mesh,
+            in_specs=(repl, repl, shard, aux_specs, repl, repl),
+            out_specs=(shard, shard),
+            check_vma=False)(prob, prior, x, aux,
+                             jnp.asarray(pmask), jnp.asarray(e3))
+        return xs[:F], its[:F]
+
     def _mk_step(dl, use_velo):
         def step(prob, prior, x, aux, pmask, e3):
             system = _system(prob, prior)
             energies_fn = stageii_term_energies(prob, opts,
                                                 prior_call or prior, model_type)
             if use_velo:
+                # on a mesh this runs on the GLOBAL frame axis (outside
+                # shard_map), so the 2-frame velocity halo crosses shard
+                # boundaries via the collective permute XLA inserts for roll
                 va, von, ea_, eon = _velo_aux(prob, x)
                 aux = dict(aux, velo_anchor=va, velo_on=von,
                            extra_anchor=ea_, extra_on=eon)
@@ -755,6 +812,9 @@ def _phase_fns(opts: StageIIOptions, model_type: str, prior_call, jit_solve: boo
                 return jnp.stack([jnp.mean(v) for v in e.values()])
 
             eb = mean_en(x)
+            if mesh is not None:
+                xs, its = _shard_solve(prob, prior, x, aux, pmask, e3, dl)
+                return xs, its, eb, mean_en(xs)
             r = batched_system_solve(system, x, aux, dl, param_mask=pmask,
                                      e_3=e3,
                                      compact_buckets=opts.compact_buckets)
@@ -812,7 +872,8 @@ def mosh_stageii_solve(prob: StageIIProblem,
                        model_type: Optional[str] = None,
                        jit_solve: bool = True,
                        return_report: bool = False,
-                       on_phase=None):
+                       on_phase=None,
+                       mesh=None):
     """Solve all frames. markers_obs (F, M, 3) in meters, mask (F, M) bool.
 
     The schedule runs as a sequence of jitted per-phase solves (cached across
@@ -845,7 +906,7 @@ def mosh_stageii_solve(prob: StageIIProblem,
     if prior is not None and not isinstance(prior, MaxMixturePrior):
         prior_call = prior        # static closure (horse etc.)
         prior_arrays = None
-    fns = _phase_fns(opts, model_type, prior_call, jit_solve)
+    fns = _phase_fns(opts, model_type, prior_call, jit_solve, mesh=mesh)
 
     n_obs = jnp.sum(maskf, axis=1)                            # (F,)
     wt_data = wt("data") * NUM_TRAIN_MARKERS / jnp.maximum(n_obs, 1.0)
@@ -955,6 +1016,67 @@ def mosh_stageii_solve(prob: StageIIProblem,
         iterations=np.asarray([float(np.mean(np.asarray(r[2])))
                                for r in reports]))
     return result, report
+
+
+def stageii_system_probe(prob: StageIIProblem,
+                         opts: StageIIOptions,
+                         markers_obs,
+                         mask,
+                         prior=None,
+                         model_type: Optional[str] = None,
+                         mesh=None):
+    """One batched GN system evaluation (f, g, B) at the rigid-init point.
+
+    With `mesh` the assembly runs under `shard_map` over the frame axis with
+    the same padding/replication layout as the sharded solve. Comparing the
+    sharded probe against the unsharded one pins the SPMD decomposition
+    (aux alignment, frame padding, replication specs) to floating-point
+    reduction noise (~1e-8 relative, measured) — the strongest equality that
+    exists across batch shapes: the PCG direction on the cond≈1e7 annealed
+    system amplifies reduction-order ulps ~1e6x and accept-test flips then
+    decorrelate the dogleg iterates, so full solves can only be compared at
+    convergence-quality level (see `__graft_entry__.dryrun_multichip`).
+    """
+    model = prob.sub_model
+    model_type = model_type or model.model_type
+    markers_obs = jnp.asarray(markers_obs, jnp.float32)
+    maskf = jnp.asarray(mask, jnp.float32)
+    F, M = maskf.shape
+    P = model.pose_dof
+    E = _num_extra(model, opts)
+    wt = opts.wt
+
+    n_obs = jnp.sum(maskf, axis=1)
+    wt_data = wt("data") * NUM_TRAIN_MARKERS / jnp.maximum(n_obs, 1.0)
+    anneal = 1.0 + (M - n_obs) / M * wt("annealing")
+    aux = {"markers": markers_obs, "mask": maskf, "wt_data": wt_data,
+           "anneal": anneal,
+           "wt_pose_scale": jnp.full((F,), 10.0, jnp.float32),
+           "velo_anchor": jnp.zeros((F, P), jnp.float32),
+           "velo_on": jnp.zeros((F,), jnp.float32),
+           "extra_anchor": jnp.zeros((F, E), jnp.float32),
+           "extra_on": jnp.zeros((F,), jnp.float32)}
+    system = make_stageii_system(prob, opts, prior, model_type)
+    sys_b = system.system_fn_batched or jax.vmap(system.system_fn)
+    x0 = rigid_init(prob, opts, markers_obs, maskf)
+    if mesh is None:
+        return jax.jit(sys_b)(x0, aux)
+
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    pad = (-F) % n_dev
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.zeros((pad,) + x0.shape[1:])])
+        aux = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            if a.ndim and a.shape[0] == F else a, aux)
+    sh = jax.sharding.PartitionSpec(axis)
+    f, g, B = jax.jit(jax.shard_map(
+        sys_b, mesh=mesh,
+        in_specs=(sh, jax.tree.map(lambda _: sh, aux)),
+        out_specs=(sh, sh, sh), check_vma=False))(x0, aux)
+    return f[:F], g[:F], B[:F]
 
 
 def report_arrays_spec(prob, opts, prior, model_type) -> Tuple[str, ...]:

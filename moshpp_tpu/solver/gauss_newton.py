@@ -242,6 +242,14 @@ def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
                opts: DoglegOptions, e_3) -> _State:
     """Per-problem: accept test, trust-region update, stopping flags."""
     pred = -(2.0 * (g @ p) + p @ (B @ p))  # model reduction of f = rᵀr
+    return _post_step_from_pred(s, jnp.linalg.norm(g), pred, p, p_gn,
+                                x_new, f_new, opts, e_3)
+
+
+def _post_step_from_pred(s: _State, g_norm, pred, p, p_gn, x_new, f_new,
+                         opts: DoglegOptions, e_3) -> _State:
+    """`_post_step` with the model reduction and |g| precomputed — the fused
+    direction kernel emits both, so the XLA side never re-reads B."""
     actual = s.f - f_new
     rho = actual / jnp.maximum(pred, 1e-30)
 
@@ -262,7 +270,7 @@ def _post_step(s: _State, g, B, p, p_gn, x_new, f_new,
 
     small_improvement = accept & (actual < e_3 * jnp.maximum(s.f, 1e-30))
     tiny_cost = f <= opts.f_atol
-    tiny_grad = jnp.linalg.norm(g) <= opts.g_rtol * (1.0 + s.f)
+    tiny_grad = g_norm <= opts.g_rtol * (1.0 + s.f)
     stalled = (~accept) & (delta <= opts.min_delta * 1.001)
     done = small_improvement | stalled | tiny_cost | tiny_grad
 
@@ -304,23 +312,35 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
                                   opts, e_3))
     sys_b = system.system_fn_batched
     cost_b = system.cost_fn_batched or jax.vmap(system.cost_fn)
-    post_b = jax.vmap(lambda s, g, B, p, pg, xn, fn_: _post_step(
-        s, g, B, p, pg, xn, fn_, opts, e_3))
 
     pallas_pcg = (opts.linear_solver == "pcg"
                   and opts.pcg_backend == "auto"
                   and jax.default_backend() == "tpu")
     if pallas_pcg:
-        from moshpp_tpu.solver.pallas_pcg import pcg_direction_batched
+        # Fused path: masking, damping, PCG, dogleg geometry and the
+        # predicted reduction all run inside one Pallas program over the RAW
+        # normal equations — the XLA side never materializes the masked or
+        # damped (N, D, D) copies of B (3x ~224 MB/iter at F=4096/D=117).
+        from moshpp_tpu.solver.pallas_pcg import dogleg_direction_batched
+        post_b = jax.vmap(lambda s, gn, pr, p, pg, xn, fn_:
+                          _post_step_from_pred(s, gn, pr, p, pg, xn, fn_,
+                                               opts, e_3))
 
-        def direction_b(s, mask, g, B):
-            g, B = jax.vmap(_masked_system)(g, B, mask)
-            B = jax.vmap(lambda b: _damp(b, opts))(B)
-            p_gn, ok = pcg_direction_batched(g, B, s.plin, opts.cg_iters)
-            p = jax.vmap(_dogleg_geometry)(g, B, s.delta, p_gn, ok)
-            return g, B, p * mask, p_gn
-    else:
-        direction_b = jax.vmap(lambda s, m, g, B: _pre_step(s, m, g, B, opts))
+        def body(s: _State, aux, mask) -> _State:
+            _, g, B = sys_b(s.x, aux)
+            g = g * mask
+            p, p_gn, pred = dogleg_direction_batched(
+                g, B, s.plin, mask, s.delta, opts.cg_iters, opts.damping)
+            x_new = s.x + p
+            f_new = cost_b(x_new, aux)
+            g_norm = jnp.linalg.norm(g, axis=-1)
+            return post_b(s, g_norm, pred, p, p_gn, x_new, f_new)
+
+        return body
+
+    direction_b = jax.vmap(lambda s, m, g, B: _pre_step(s, m, g, B, opts))
+    post_b = jax.vmap(lambda s, g, B, p, pg, xn, fn_: _post_step(
+        s, g, B, p, pg, xn, fn_, opts, e_3))
 
     def body(s: _State, aux, mask) -> _State:
         _, g, B = sys_b(s.x, aux)

@@ -82,6 +82,168 @@ def _pcg_kernel(g_ref, b_ref, plin_ref, p_ref, ok_ref, *, iters, D):
     ok_ref[:, :] = ok.astype(jnp.float32)
 
 
+def _direction_kernel(g_ref, b_ref, plin_ref, mask_ref, delta_ref,
+                      p_ref, pgn_ref, pred_ref, *, iters, D, damping):
+    """Fused dogleg direction for one 128-frame block.
+
+    Takes the RAW normal equations B (no masked/damped copies in HBM) and
+    folds parameter masking + Tikhonov damping into the matvec:
+
+        B_md v = mask * (B @ (mask * v)) + (1 - mask) * v + lam * v
+
+    which equals (mask mask^T * B + diag(1-mask) + lam I) v — exactly the
+    system `gauss_newton._masked_system` + `_damp` materialize, at zero HBM
+    traffic. Then runs Jacobi-PCG, the dogleg geometry (GN-inside / Cauchy /
+    segment blend) and the predicted model reduction in-VMEM, so XLA never
+    reads B again after the normal-equation contraction.
+
+    g must arrive PRE-MASKED (g * mask — cheap in XLA, needed outside for
+    the gradient-norm stop anyway); plin is masked in-kernel since phase
+    transitions can leave stale components in frozen dims.
+    """
+    g = g_ref[:]                                   # (D, BF), pre-masked
+    mask = mask_ref[:]                             # (D, BF) 0/1
+    plin = plin_ref[:] * mask
+    delta = delta_ref[:]                           # (1, BF)
+    B = b_ref                                      # (D, D, BF) raw, symmetric
+
+    def rdot(a, b):
+        return jnp.sum(a * b, axis=0, keepdims=True)   # (1, BF)
+
+    # damping scale from the masked diagonal (matches _damp on the masked B)
+    diag = jnp.concatenate([B[e][e:e + 1, :] for e in range(D)], axis=0)
+    diag_m = mask * diag + (1.0 - mask)
+    lam = damping * (jnp.sum(diag_m, axis=0, keepdims=True) / D + 1.0)
+
+    def matvec(v):
+        vm = v * mask
+        out = B[0] * vm[0:1, :]
+        for e in range(1, D):
+            out = out + B[e] * vm[e:e + 1, :]
+        return mask * out + (1.0 - mask) * v + lam * v
+
+    dinv = 1.0 / jnp.clip(diag_m + lam, 1e-12, None)
+
+    rhs = -g
+    # warm start only if it reduces the residual vs x0 = 0
+    r_warm = rhs - matvec(plin)
+    finite = jnp.all(jnp.isfinite(plin), axis=0, keepdims=True)
+    use_warm = (rdot(r_warm, r_warm) < rdot(rhs, rhs)) & finite
+    x = jnp.where(use_warm, plin, jnp.zeros_like(g))
+    r = jnp.where(use_warm, r_warm, rhs)
+
+    z = dinv * r
+    p = z
+    rz = rdot(r, z)
+    rz0 = jnp.maximum(rz, 1e-30)
+    active = rz > 0
+
+    for _ in range(iters):
+        Bp = matvec(p)
+        pBp = rdot(p, Bp)
+        step_ok = active & (pBp > 1e-30) & (rz > 1e-12 * rz0)
+        alpha = jnp.where(step_ok, rz / jnp.where(pBp > 0, pBp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Bp
+        z = dinv * r
+        rz_new = rdot(r, z)
+        beta = jnp.where(step_ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = jnp.where(step_ok, z + beta * p, p)
+        rz = jnp.where(step_ok, rz_new, rz)
+        active = step_ok
+
+    ok = (rdot(g, x) < 0) & jnp.all(jnp.isfinite(x), axis=0, keepdims=True)
+    p_gn = jnp.where(ok, x, jnp.zeros_like(x))
+    pgn_ref[:, :] = p_gn
+
+    # ---- dogleg geometry (mirrors gauss_newton._dogleg_geometry) ----------
+    gn_norm = jnp.where(ok, jnp.sqrt(rdot(p_gn, p_gn)), jnp.inf)
+    gBg = rdot(g, matvec(g)) + 1e-30
+    gg = rdot(g, g)
+    p_sd = -(gg / gBg) * g
+    sd_norm = jnp.sqrt(rdot(p_sd, p_sd))
+
+    d = p_gn - p_sd
+    a = rdot(d, d) + 1e-30
+    b2 = 2.0 * rdot(p_sd, d)
+    c = rdot(p_sd, p_sd) - delta * delta
+    disc = jnp.maximum(b2 * b2 - 4.0 * a * c, 0.0)
+    t = jnp.clip((-b2 + jnp.sqrt(disc)) / (2.0 * a), 0.0, 1.0)
+    seg = p_sd + t * d
+
+    step = jnp.where(
+        (gn_norm <= delta) & ok,
+        p_gn,
+        jnp.where(sd_norm >= delta,
+                  p_sd * (delta / (sd_norm + 1e-30)),
+                  jnp.where(ok, seg, p_sd)))
+    step = step * mask
+    p_ref[:, :] = step
+
+    # predicted model reduction -(2 g.p + p B_md p) for the rho accept test
+    pred_ref[:, :] = -(2.0 * rdot(g, step) + rdot(step, matvec(step)))
+
+
+def dogleg_direction_batched(g: jnp.ndarray,
+                             B: jnp.ndarray,
+                             plin: jnp.ndarray,
+                             mask: jnp.ndarray,
+                             delta: jnp.ndarray,
+                             iters: int,
+                             damping: float,
+                             interpret: bool = False):
+    """Fully-fused batched dogleg direction from RAW normal equations.
+
+    (g_masked (N,D), B (N,D,D) raw symmetric, plin (N,D), mask (N,D),
+    delta (N,)) -> (p (N,D) dogleg step, p_gn (N,D) warm start,
+    pred (N,) model reduction). Replaces the XLA chain
+    masked-copy -> damped-copy -> kernel-transpose -> geometry -> pred,
+    which wrote three full (N,D,D) copies of B per iteration.
+    """
+    N, D = g.shape
+    Np = -(-N // BF) * BF
+    gt = jnp.pad(g, ((0, Np - N), (0, 0))).T               # (D, Np)
+    pt = jnp.pad(plin, ((0, Np - N), (0, 0))).T
+    # pad mask with zeros: padded frames solve the identity system
+    mt = jnp.pad(mask.astype(g.dtype), ((0, Np - N), (0, 0))).T
+    dt = jnp.pad(delta, (0, Np - N))[None, :]              # (1, Np)
+    Bt = jnp.pad(B, ((0, Np - N), (0, 0), (0, 0))).transpose(1, 2, 0)
+
+    kern = functools.partial(_direction_kernel, iters=iters, D=D,
+                             damping=damping)
+    p_t, pgn_t, pred_t = pl.pallas_call(
+        kern,
+        grid=(Np // BF,),
+        out_shape=[
+            jax.ShapeDtypeStruct((D, Np), jnp.float32),
+            jax.ShapeDtypeStruct((D, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((D, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(gt, Bt, pt, mt, dt)
+    return p_t.T[:N], pgn_t.T[:N], pred_t[0, :N]
+
+
 def pcg_direction_batched(g: jnp.ndarray,
                           B: jnp.ndarray,
                           plin: jnp.ndarray,

@@ -260,3 +260,43 @@ class TestPallasPCG:
         descent = np.einsum("nd,nd->n", np.asarray(g), p)
         assert (descent < 0).all()
         assert np.isfinite(p).all()
+
+    def test_fused_direction_matches_xla_chain(self, rng):
+        """The fused direction kernel (mask+damp+PCG+geometry+pred in-VMEM,
+        raw B input) must reproduce the XLA chain masked_system -> damp ->
+        pcg -> dogleg_geometry -> pred exactly (same guards, same order)."""
+        from moshpp_tpu.solver.gauss_newton import (DoglegOptions, _damp,
+                                                    _dogleg_geometry,
+                                                    _gn_direction_pcg,
+                                                    _masked_system)
+        from moshpp_tpu.solver.pallas_pcg import dogleg_direction_batched
+        N, D = 6, 17
+        opts = DoglegOptions(damping=1e-8, cg_iters=20)
+        A = rng.normal(size=(N, D, D)).astype(np.float32)
+        B = jnp.asarray(A @ A.transpose(0, 2, 1) + 3.0 * np.eye(D))
+        g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        plin = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32) * 0.1)
+        mask = jnp.asarray(
+            (rng.uniform(size=(N, D)) > 0.3).astype(np.float32))
+        delta = jnp.asarray(rng.uniform(0.05, 2.0, size=N).astype(np.float32))
+
+        gm = g * mask
+        p_k, pgn_k, pred_k = dogleg_direction_batched(
+            gm, B, plin, mask, delta, iters=20, damping=opts.damping,
+            interpret=True)
+
+        def ref_one(g, B, plin, mask, delta):
+            g, B = _masked_system(g, B, mask)
+            B = _damp(B, opts)
+            p_gn, ok = _gn_direction_pcg(g, B, plin * mask, 20)
+            p = _dogleg_geometry(g, B, delta, p_gn, ok) * mask
+            pred = -(2.0 * (g @ p) + p @ (B @ p))
+            return p, p_gn, pred
+
+        p_r, pgn_r, pred_r = jax.vmap(ref_one)(g, B, plin, mask, delta)
+        np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_r),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pgn_k), np.asarray(pgn_r),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_r),
+                                   rtol=2e-3, atol=1e-6)
