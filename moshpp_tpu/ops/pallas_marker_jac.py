@@ -100,6 +100,16 @@ class MarkerJacTables(NamedTuple):
     pdJ: jnp.ndarray        # (J-1, M*128) banded posedirs columns
     cf: jnp.ndarray         # (M*8, 3) banded marker coefficients
     hands_mean: jnp.ndarray  # (45*nh,) or (0,)
+    # extra (dmpl/expression) shape dims: E direction columns of shapedirs /
+    # joint_shapedirs (chmosh.py:507-514 dmpl splice, 694-699 expressions).
+    # Zero-width arrays when the problem has no extra dims.
+    dtrelE: jnp.ndarray     # (J, 3E) parent-relative rest-joint directions
+    djntE: jnp.ndarray      # (J, 3E) rest-joint directions
+    dvE: jnp.ndarray        # (3E, M*128) banded vertex direction bands
+
+    @property
+    def n_extra(self) -> int:
+        return self.djntE.shape[1] // 3
 
 
 def _rodrigues_rows(t0, t1, t2):
@@ -187,14 +197,43 @@ def _skew(v):
             [-v[1], v[0], z]]
 
 
-def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
-                   trel_ref,
-                   grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
-                   *, parents, has_pb):
+def _frame_rest_geometry(trel_ref, jnts_ref, dtrelE_ref, djntE_ref,
+                         extra_ref, n_extra):
+    """Rest-joint geometry, shifted per frame by the extra shape dims.
+
+    Without extras, returns the constant (J, 1) coordinate columns (the
+    compiled program is then identical to the extras-free kernel). With
+    extras, trel/jnts become (J, BF) tiles:
+        trel_f = trel + sum_e x_e * dtrel_e,  jnts_f likewise
+    plus the raw (J, 3E) direction tables and the (1, BF) extra rows for the
+    tangent-FK / Jacobian-column passes.
+    """
+    trel = [trel_ref[:, c:c + 1] for c in range(3)]            # (J, 1)
+    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
+    if not n_extra:
+        return trel, jnts, None, None, None
+    ex = [extra_ref[e:e + 1, :] for e in range(n_extra)]       # (1, BF)
+    dtrelE = dtrelE_ref[:]                                     # (J, 3E)
+    djntE = djntE_ref[:]
+    trel_f = [trel[c] + sum(dtrelE[:, e * 3 + c:e * 3 + c + 1] * ex[e]
+                            for e in range(n_extra)) for c in range(3)]
+    jnts_f = [jnts[c] + sum(djntE[:, e * 3 + c:e * 3 + c + 1] * ex[e]
+                            for e in range(n_extra)) for c in range(3)]
+    return trel_f, jnts_f, dtrelE, djntE, ex
+
+
+def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                 trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                 grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 datrE_ref, *, parents, has_pb, n_extra):
     """Per-frame-block FK pipeline: rodrigues + dR + tree FK + generators.
 
     Grid (nf,). All outputs are (k, J, BF) stacks with a static structure
     index leading and frames in lanes, consumed by `_marker_kernel`.
+
+    With n_extra > 0 the FK runs on per-frame rest joints (extras shift both
+    vertices and joints through joint_shapedirs) and a tangent FK emits
+    dA_tr/dx_e stacks for the E extra Jacobian columns.
     """
     J = len(parents)
     L = lvl_ref.shape[0]
@@ -203,16 +242,22 @@ def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
     R, quat = _rodrigues_rows(*th)
     dR = _rodrigues_grad_rows(th, quat)
 
-    trel = [trel_ref[:, c:c + 1] for c in range(3)]            # (J, 1)
-    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
+    trel, jnts, dtrelE, djntE, _ = _frame_rest_geometry(
+        trel_ref, jnts_ref, dtrelE_ref, djntE_ref, extra_ref, n_extra)
     G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
     G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
+    # tangent FK state: dG_tr/dx_e (the source dtrel_e is constant per joint;
+    # frame dependence enters only through the accumulated parent rotations)
+    dGtr = [[jnp.broadcast_to(dtrelE[:, e * 3 + a:e * 3 + a + 1],
+                              th[0].shape) for a in range(3)]
+            for e in range(n_extra)]
     par = par_ref[:]
     for lev in range(L):
-        flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
+        flat = ([G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
+                + [dGtr[e][a] for e in range(n_extra) for a in range(3)])
         gp = _gather_rows(par, flat)
         gp_rot = [[gp[a * 3 + b] for b in range(3)] for a in range(3)]
-        gp_tr = gp[9:]
+        gp_tr = gp[9:12]
         m = lvl_ref[lev][:, None]                              # (J, 1)
         new_rot = [[sum(gp_rot[a][k] * R[k][b] for k in range(3))
                     for b in range(3)] for a in range(3)]
@@ -222,10 +267,23 @@ def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
             for b in range(3):
                 G_rot[a][b] = m * new_rot[a][b] + (1.0 - m) * G_rot[a][b]
             G_tr[a] = m * new_tr[a] + (1.0 - m) * G_tr[a]
+        for e in range(n_extra):
+            gp_dtr = gp[12 + e * 3:12 + e * 3 + 3]
+            for a in range(3):
+                new_dtr = (sum(gp_rot[a][k]
+                               * dtrelE[:, e * 3 + k:e * 3 + k + 1]
+                               for k in range(3)) + gp_dtr[a])
+                dGtr[e][a] = m * new_dtr + (1.0 - m) * dGtr[e][a]
 
     # skinning transforms: A_rot = G_rot, A_tr = G_tr - G_rot @ rest_joint
     A_tr = [G_tr[a] - sum(G_rot[a][b] * jnts[b] for b in range(3))
             for a in range(3)]
+    # dA_tr/dx_e = dG_tr_e - G_rot @ djnt_e  (A_rot has no extra dependence)
+    for e in range(n_extra):
+        for a in range(3):
+            datrE_ref[e * 3 + a, :, :] = dGtr[e][a] - sum(
+                G_rot[a][b] * djntE[:, e * 3 + b:e * 3 + b + 1]
+                for b in range(3))
 
     # parent transforms for the generators (root parent = identity)
     flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
@@ -268,18 +326,47 @@ def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
         feat_ref[:, :] = jnp.zeros_like(feat_ref)
 
 
-def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
-                   trans_ref,
-                   ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
-                   pdJ_ref, cf_ref,
-                   sim_ref, jm_ref,
-                   *, num_joints, body_dof, hand_dof, has_pb):
+def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                   trel_ref,
+                   grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                   *, parents, has_pb):
+    _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref, trel_ref,
+                 None, None, None,
+                 grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 None, parents=parents, has_pb=has_pb, n_extra=0)
+
+
+def _smalls_kernel_ext(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                       trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                       grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                       feat_ref, datrE_ref, *, parents, has_pb, n_extra):
+    _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref, trel_ref,
+                 dtrelE_ref, djntE_ref, extra_ref,
+                 grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 datrE_ref, parents=parents, has_pb=has_pb, n_extra=n_extra)
+
+
+def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref,
+                 ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
+                 pdJ_ref, cf_ref, wo_ref,
+                 datrE_ref, dvE_ref, extra_ref,
+                 out_ref, jm_ref,
+                 *, num_joints, body_dof, hand_dof, has_pb, n_extra):
     """One (frame-block, marker) program.
 
     Smalls blocks depend only on the frame index, so Mosaic keeps them
     VMEM-resident across the marker-major grid sweep; per-marker tables are
     128-aligned bands so every lane index is static (Mosaic forbids dynamic
     lane slicing).
+
+    wo_ref = None: out_ref gets simulated markers, jm_ref the raw Jacobian.
+    With wo_ref (rows [w, obs_xyz, 0...] per marker): out_ref gets the
+    weighted residual (sim - obs) * w and jm_ref the weighted Jacobian.
+
+    n_extra > 0 appends E extra (dmpl/expression) columns: per vertex
+    d v/dx_e = T_rot dv_e + sum_j w_j dA_tr_e[j], pushed through the same
+    local-frame chain as the pose columns.
     """
     J = num_joints
 
@@ -300,9 +387,13 @@ def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
     vshT = vshT_ref[:]                                         # (3, 128)
     if has_pb:
         pdJb = pdJ_ref[:]                                      # (J-1, 128)
+    if n_extra:
+        dvband = dvE_ref[:]                                    # (3E, 128)
+        ex = [extra_ref[e:e + 1, :] for e in range(n_extra)]   # (1, BF)
 
     verts = []
     Jp = []
+    JpE = []
     for k in range(3):
         wcol = wT[:, k:k + 1]                                  # (J, 1)
         scol = sT[:, k:k + 1]
@@ -313,6 +404,10 @@ def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
             vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
         else:
             vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
+                  for c in range(3)]
+        if n_extra:
+            vp = [vp[c] + sum(dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
+                              * ex[e] for e in range(n_extra))
                   for c in range(3)]
 
         # z_b = A_rot[b] @ v_posed + A_tr[b]; y = w * z; S = ancT @ y
@@ -355,6 +450,16 @@ def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
             Jrows.append(JJ)                                   # (P_out, BF)
         Jp.append(Jrows)
 
+        if n_extra:
+            # d v/dx_e (1, BF) rows: skinned joint-shift + direct vertex dir
+            Je = [[jnp.sum(wcol * datrE_ref[e * 3 + b], axis=0,
+                           keepdims=True)
+                   + sum(Trot[b][c]
+                         * dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
+                         for c in range(3))
+                   for b in range(3)] for e in range(n_extra)]
+            JpE.append(Je)
+
         v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
              for b in range(3)]
         verts.append(v)
@@ -376,7 +481,14 @@ def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
           f1[2] * f2[0] - f1[0] * f2[2],
           f1[0] * f2[1] - f1[1] * f2[0]]
     sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
-    sim_ref[0, :, :] = jnp.concatenate(sim, axis=0)
+    if wo_ref is None:
+        wrow = None
+        out_ref[0, :, :] = jnp.concatenate(sim, axis=0)
+    else:
+        wo = wo_ref[:]                                         # (8, BF)
+        wrow = wo[0:1, :]
+        rw = [(sim[b] - wo[1 + b:2 + b, :]) * wrow for b in range(3)]
+        out_ref[0, :, :] = jnp.concatenate(rw, axis=0)
 
     # d f / d e blocks (exact for the eps-guarded normalization)
     inv1, inv2 = 1.0 / n1, 1.0 / n2
@@ -407,21 +519,60 @@ def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
         tcol = jnp.concatenate(
             [jnp.full((1, BF), 1.0 if c == j else 0.0, row.dtype)
              for j in range(3)], axis=0)
-        jm_ref[c, :, :] = jnp.concatenate([tcol, row], axis=0)
+        pieces = [tcol, row]
+        if n_extra:
+            pieces.append(jnp.concatenate(
+                [sum(dms[k][c][d] * JpE[k][e][d]
+                     for k in range(3) for d in range(3))
+                 for e in range(n_extra)], axis=0))            # (E, BF)
+        out = jnp.concatenate(pieces, axis=0)
+        jm_ref[c, :, :] = out if wrow is None else out * wrow
 
 
-def _sim_smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
-                       trel_ref,
-                       grot_ref, atr_ref, feat_ref,
-                       *, parents, has_pb):
-    """Sim-only smalls: rodrigues + tree FK (no derivative chain)."""
+def _marker_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                   trans_ref,
+                   ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
+                   pdJ_ref, cf_ref,
+                   sim_ref, jm_ref,
+                   *, num_joints, body_dof, hand_dof, has_pb):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, None, None, None, None,
+                 sim_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=0)
+
+
+def _marker_kernel_ext(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                       feat_ref, datrE_ref, trans_ref, extra_ref,
+                       ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
+                       pdJ_ref, cf_ref, dvE_ref,
+                       sim_ref, jm_ref,
+                       *, num_joints, body_dof, hand_dof, has_pb, n_extra):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, None,
+                 datrE_ref, dvE_ref, extra_ref,
+                 sim_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=n_extra)
+
+
+def _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                     trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                     grot_ref, atr_ref, feat_ref,
+                     *, parents, has_pb, n_extra):
+    """Sim-only smalls: rodrigues + tree FK (no derivative chain).
+
+    With n_extra > 0 the rest joints shift per frame with the extra
+    (dmpl/expression) dims, exactly as in `_smalls_impl` — but no tangent FK
+    is needed for the primal.
+    """
     J = len(parents)
     L = lvl_ref.shape[0]
     th = [theta_ref[t] for t in range(3)]
     R, _ = _rodrigues_rows(*th)
 
-    trel = [trel_ref[:, c:c + 1] for c in range(3)]
-    jnts = [jnts_ref[:, c:c + 1] for c in range(3)]
+    trel, jnts, _, _, _ = _frame_rest_geometry(
+        trel_ref, jnts_ref, dtrelE_ref, djntE_ref, extra_ref, n_extra)
     G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
     G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
     par = par_ref[:]
@@ -454,10 +605,30 @@ def _sim_smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
         feat_ref[:, :] = jnp.zeros_like(feat_ref)
 
 
-def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
-                       wT_ref, vshT_ref, pdrow_ref, cf_ref,
-                       sim_ref,
-                       *, num_joints, has_pb):
+def _sim_smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                       trel_ref,
+                       grot_ref, atr_ref, feat_ref,
+                       *, parents, has_pb):
+    _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                     trel_ref, None, None, None,
+                     grot_ref, atr_ref, feat_ref,
+                     parents=parents, has_pb=has_pb, n_extra=0)
+
+
+def _sim_smalls_kernel_ext(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                           trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                           grot_ref, atr_ref, feat_ref,
+                           *, parents, has_pb, n_extra):
+    _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                     trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                     grot_ref, atr_ref, feat_ref,
+                     parents=parents, has_pb=has_pb, n_extra=n_extra)
+
+
+def _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
+                     wT_ref, vshT_ref, pdrow_ref, cf_ref, dvE_ref,
+                     sim_ref,
+                     *, num_joints, has_pb, n_extra):
     """Sim-only per-marker program: skinning + local-frame reconstruction."""
     G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
     A_tr = [atr_ref[a] for a in range(3)]
@@ -466,6 +637,9 @@ def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
     trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]
     wT = wT_ref[:]
     vshT = vshT_ref[:]
+    if n_extra:
+        dvband = dvE_ref[:]                                    # (3E, 128)
+        ex = [extra_ref[e:e + 1, :] for e in range(n_extra)]   # (1, BF)
 
     verts = []
     for k in range(3):
@@ -477,6 +651,10 @@ def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
             vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
         else:
             vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
+                  for c in range(3)]
+        if n_extra:
+            vp = [vp[c] + sum(dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
+                              * ex[e] for e in range(n_extra))
                   for c in range(3)]
         Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
                  for c in range(3)] for a in range(3)]
@@ -505,6 +683,26 @@ def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
     sim_ref[0, :, :] = jnp.concatenate(sim, axis=0)
 
 
+def _sim_marker_kernel(grot_ref, atr_ref, feat_ref, trans_ref,
+                       wT_ref, vshT_ref, pdrow_ref, cf_ref,
+                       sim_ref,
+                       *, num_joints, has_pb):
+    _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, None,
+                     wT_ref, vshT_ref, pdrow_ref, cf_ref, None,
+                     sim_ref, num_joints=num_joints, has_pb=has_pb,
+                     n_extra=0)
+
+
+def _sim_marker_kernel_ext(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
+                           wT_ref, vshT_ref, pdrow_ref, cf_ref, dvE_ref,
+                           sim_ref,
+                           *, num_joints, has_pb, n_extra):
+    _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
+                     wT_ref, vshT_ref, pdrow_ref, cf_ref, dvE_ref,
+                     sim_ref, num_joints=num_joints, has_pb=has_pb,
+                     n_extra=n_extra)
+
+
 def marker_sim(model: SurfaceModel,
                tables: MarkerJacTables,
                x: jnp.ndarray,
@@ -525,11 +723,19 @@ def marker_sim(model: SurfaceModel,
     CB = 8
     pdN = tables.pdrow.shape[1]
     featN = (J - 1) * 9 if has_pb else 8
+    E = tables.n_extra
 
-    smalls_kern = functools.partial(_sim_smalls_kernel, parents=parents,
-                                    has_pb=has_pb)
-    marker_kern = functools.partial(_sim_marker_kernel, num_joints=J,
-                                    has_pb=has_pb)
+    if E:
+        smalls_kern = functools.partial(_sim_smalls_kernel_ext,
+                                        parents=parents, has_pb=has_pb,
+                                        n_extra=E)
+        marker_kern = functools.partial(_sim_marker_kernel_ext, num_joints=J,
+                                        has_pb=has_pb, n_extra=E)
+    else:
+        smalls_kern = functools.partial(_sim_smalls_kernel, parents=parents,
+                                        has_pb=has_pb)
+        marker_kern = functools.partial(_sim_marker_kernel, num_joints=J,
+                                        has_pb=has_pb)
     cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     F = x.shape[0]
@@ -547,6 +753,19 @@ def marker_sim(model: SurfaceModel,
     trans2 = trans.T
 
     nf = Fp // BF
+    s_in = [
+        pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        cspec(), cspec(), cspec(), cspec(), cspec(),
+    ]
+    s_args = [theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
+              tables.trel]
+    if E:
+        extra2 = x[:, 3 + P:3 + P + E].T                       # (E, Fp)
+        s_in += [cspec(), cspec(),
+                 pl.BlockSpec((E, BF), lambda fi: (0, fi),
+                              memory_space=pltpu.VMEM)]
+        s_args += [tables.dtrelE, tables.djntE, extra2]
     smalls = pl.pallas_call(
         smalls_kern,
         grid=(nf,),
@@ -555,11 +774,7 @@ def marker_sim(model: SurfaceModel,
             jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
             jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
         ],
-        in_specs=[
-            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            cspec(), cspec(), cspec(), cspec(), cspec(),
-        ],
+        in_specs=s_in,
         out_specs=[
             pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
                          memory_space=pltpu.VMEM),
@@ -569,187 +784,91 @@ def marker_sim(model: SurfaceModel,
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
-    )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts, tables.trel)
+    )(*s_args)
 
+    m_in = [
+        pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                     memory_space=pltpu.VMEM),
+    ]
+    m_args = list(smalls) + [trans2]
+    if E:
+        m_in.append(pl.BlockSpec((E, BF), lambda fi, mi: (0, fi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(extra2)
+    m_in += [
+        pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    m_args += [tables.wT, tables.vshT, tables.pdrow, tables.cf]
+    if E:
+        m_in.append(pl.BlockSpec((3 * E, 128), lambda fi, mi: (0, mi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(tables.dvE)
     sim_t = pl.pallas_call(
         marker_kern,
         grid=(nf, M),
         out_shape=jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=m_in,
         out_specs=pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*smalls, trans2, tables.wT, tables.vshT, tables.pdrow, tables.cf)
+    )(*m_args)
     return sim_t.transpose(2, 0, 1)[:F]
 
 
 def _marker_jac_w_kernel(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
-                   feat_ref, trans_ref,
-                   ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
-                   pdJ_ref, cf_ref, wo_ref,
-                   rw_ref, jm_ref,
-                   *, num_joints, body_dof, hand_dof, has_pb):
-    """One (frame-block, marker) program.
+                          feat_ref, trans_ref,
+                          ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                          pdrow_ref, pdJ_ref, cf_ref, wo_ref,
+                          rw_ref, jm_ref,
+                          *, num_joints, body_dof, hand_dof, has_pb):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, wo_ref, None, None, None,
+                 rw_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=0)
 
-    Smalls blocks depend only on the frame index, so Mosaic keeps them
-    VMEM-resident across the marker-major grid sweep; per-marker tables are
-    128-aligned bands so every lane index is static (Mosaic forbids dynamic
-    lane slicing).
-    """
-    J = num_joints
 
-    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
-    A_tr = [atr_ref[a] for a in range(3)]
-    W_rot = [[[wrot_ref[(a * 3 + b) * 3 + t] for t in range(3)]
-              for b in range(3)] for a in range(3)]
-    W_tr = [[wtr_ref[a * 3 + t] for t in range(3)] for a in range(3)]
-    dR = [[[dr_ref[(a * 3 + b) * 3 + t] for b in range(3)]
-           for a in range(3)] for t in range(3)]
-    if has_pb:
-        feat = feat_ref[:]                                     # (9(J-1), BF)
-    trans = [trans_ref[pl.ds(c, 1), :] for c in range(3)]      # (1, BF)
-    ancT = ancT_ref[:]
-    hc = hc_ref[:] if hand_dof else None
-    wT = wT_ref[:]                                             # (J, 128)
-    sT = sT_ref[:]
-    vshT = vshT_ref[:]                                         # (3, 128)
-    if has_pb:
-        pdJb = pdJ_ref[:]                                      # (J-1, 128)
-
-    verts = []
-    Jp = []
-    for k in range(3):
-        wcol = wT[:, k:k + 1]                                  # (J, 1)
-        scol = sT[:, k:k + 1]
-        vsh = vshT[:, k:k + 1]                                 # (3, 1)
-        if has_pb:
-            pd3 = pdrow_ref[pl.ds(k * 3, 3), :]                # (3, 9(J-1))
-            pb = _dotc(pd3, feat)                              # (3, BF)
-            vp = [vsh[c:c + 1, :] + pb[c:c + 1, :] for c in range(3)]
-        else:
-            vp = [jnp.broadcast_to(vsh[c:c + 1, :], (1, BF))
-                  for c in range(3)]
-
-        # z_b = A_rot[b] @ v_posed + A_tr[b]; y = w * z; S = ancT @ y
-        zb = [sum(G_rot[b][c] * vp[c] for c in range(3)) + A_tr[b]
-              for b in range(3)]
-        ycat = jnp.concatenate([wcol * zb[b] for b in range(3)], axis=1)
-        Scat = _dotc(ancT, ycat)                               # (J, 3*BF)
-        S = [Scat[:, b * BF:(b + 1) * BF] for b in range(3)]
-
-        # T_rot / T_tr for this vertex (weighted skinning transform)
-        Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
-                 for c in range(3)] for a in range(3)]
-        Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
-               for a in range(3)]
-
-        # J_fk[a][t] (J, BF) = W_rot S + s W_tr (+ T_rot dvp)
-        Jf = [[sum(W_rot[a][b][t] * S[b] for b in range(3))
-               + scol * W_tr[a][t]
-               for t in range(3)] for a in range(3)]
-        if has_pb:
-            dvp = [[sum(pdJb[:, k * 27 + c * 9 + a * 3 + b:
-                             k * 27 + c * 9 + a * 3 + b + 1]
-                        * dR[t][a][b][1:, :]
-                        for a in range(3) for b in range(3))
-                    for t in range(3)] for c in range(3)]
-            for a in range(3):
-                for t in range(3):
-                    t3 = sum(Trot[a][c] * dvp[c][t] for c in range(3))
-                    Jf[a][t] = jnp.concatenate(
-                        [Jf[a][t][:1, :], Jf[a][t][1:, :] + t3], axis=0)
-
-        # column order (j, t) -> optimization pose vector
-        Jrows = []
-        for a in range(3):
-            JJ = jnp.stack([Jf[a][0], Jf[a][1], Jf[a][2]],
-                           axis=1).reshape(3 * J, BF)
-            if hand_dof:
-                Jh = _dotc(hc, JJ[body_dof:3 * J, :])
-                JJ = jnp.concatenate([JJ[:body_dof, :], Jh], axis=0)
-            Jrows.append(JJ)                                   # (P_out, BF)
-        Jp.append(Jrows)
-
-        v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]
-             for b in range(3)]
-        verts.append(v)
-
-    # ---- local-frame reconstruction + its vertex Jacobian -------------------
-    cfb = cf_ref[pl.ds(0, 1), :]                               # (1, 3)
-    c1, c2, c3 = cfb[:, 0:1], cfb[:, 1:2], cfb[:, 2:3]
-    v0, v1, v2 = verts
-    e1 = [v1[b] - v0[b] for b in range(3)]
-    e2 = [v2[b] - v0[b] for b in range(3)]
-    n1 = jnp.sqrt(sum(e * e for e in e1) + _EPS)
-    f1 = [e / n1 for e in e1]
-    cz = [e1[1] * e2[2] - e1[2] * e2[1],
-          e1[2] * e2[0] - e1[0] * e2[2],
-          e1[0] * e2[1] - e1[1] * e2[0]]
-    n2 = jnp.sqrt(sum(c * c for c in cz) + _EPS)
-    f2 = [c / n2 for c in cz]
-    f3 = [f1[1] * f2[2] - f1[2] * f2[1],
-          f1[2] * f2[0] - f1[0] * f2[2],
-          f1[0] * f2[1] - f1[1] * f2[0]]
-    sim = [v0[b] + c1 * f1[b] + c2 * f2[b] + c3 * f3[b] for b in range(3)]
-    wo = wo_ref[:]                                             # (8, BF)
-    wrow = wo[0:1, :]
-    rw = [(sim[b] - wo[1 + b:2 + b, :]) * wrow for b in range(3)]
-    rw_ref[0, :, :] = jnp.concatenate(rw, axis=0)
-
-    # d f / d e blocks (exact for the eps-guarded normalization)
-    inv1, inv2 = 1.0 / n1, 1.0 / n2
-    M1 = [[((1.0 if a == b else 0.0) - f1[a] * f1[b]) * inv1
-           for b in range(3)] for a in range(3)]
-    M2 = [[((1.0 if a == b else 0.0) - f2[a] * f2[b]) * inv2
-           for b in range(3)] for a in range(3)]
-    C1 = [[-x for x in row] for row in _skew(e2)]              # d cz / d e1
-    C2 = _skew(e1)                                             # d cz / d e2
-    A1 = _mat3mul(M2, C1)
-    A2 = _mat3mul(M2, C2)
-    S1m = _skew(f1)
-    S2m = _skew(f2)
-    B1 = _mat3mul(S1m, A1)
-    B2 = _mat3mul(S1m, A2)
-    N1 = _mat3mul(S2m, M1)
-    dm1 = [[c1 * M1[a][b] + c2 * A1[a][b] + c3 * (B1[a][b] - N1[a][b])
-            for b in range(3)] for a in range(3)]
-    dm2 = [[c2 * A2[a][b] + c3 * B2[a][b] for b in range(3)]
-           for a in range(3)]
-    dm0 = [[(1.0 if a == b else 0.0) - dm1[a][b] - dm2[a][b]
-            for b in range(3)] for a in range(3)]
-    dms = [dm0, dm1, dm2]
-
-    for c in range(3):
-        row = sum(dms[k][c][d] * Jp[k][d]
-                  for k in range(3) for d in range(3))         # (P_out, BF)
-        tcol = jnp.concatenate(
-            [jnp.full((1, BF), 1.0 if c == j else 0.0, row.dtype)
-             for j in range(3)], axis=0)
-        jm_ref[c, :, :] = jnp.concatenate([tcol, row], axis=0) * wrow
+def _marker_jac_w_kernel_ext(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                             feat_ref, datrE_ref, trans_ref, extra_ref,
+                             ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                             pdrow_ref, pdJ_ref, cf_ref, dvE_ref, wo_ref,
+                             rw_ref, jm_ref,
+                             *, num_joints, body_dof, hand_dof, has_pb,
+                             n_extra):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, wo_ref,
+                 datrE_ref, dvE_ref, extra_ref,
+                 rw_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=n_extra)
 
 
 def prepare_marker_jac_tables(model: SurfaceModel,
                               idx: MarkerFrameIndices,
                               coeffs: jnp.ndarray,
-                              betas: jnp.ndarray) -> MarkerJacTables:
-    """Freeze a (model, marker set, betas) problem into kernel tables."""
+                              betas: jnp.ndarray,
+                              extra_cols=None) -> MarkerJacTables:
+    """Freeze a (model, marker set, betas) problem into kernel tables.
+
+    extra_cols: optional (E,) int column indices into shapedirs /
+    joint_shapedirs for per-frame extra shape dims (DMPL splice columns
+    [num_betas, num_betas+num_dmpls) or expression columns
+    [expr_start, expr_start+num_expressions)); the kernels then emit E extra
+    Jacobian columns and apply the per-frame rest-joint/vertex offsets.
+    """
     parents = model.parents
     J = model.num_joints
     nb = min(int(betas.shape[-1]), model.num_shape_dirs)
@@ -803,6 +922,29 @@ def prepare_marker_jac_tables(model: SurfaceModel,
     cf = np.zeros((M * CB, 3), np.float32)
     cf[::CB] = np.asarray(coeffs)
 
+    if extra_cols is not None and len(extra_cols):
+        cols = np.asarray(extra_cols, np.int64)
+        E = len(cols)
+        assert int(cols.max()) < model.num_shape_dirs, (
+            f"extra col {cols.max()} beyond shapedirs width "
+            f"{model.num_shape_dirs}")
+        djnt3 = np.asarray(model.joint_shapedirs)[..., cols]   # (J, 3, E)
+        dtrel3 = djnt3.copy()
+        for j in range(1, J):
+            dtrel3[j] = djnt3[j] - djnt3[parents[j]]
+        # column layout e*3+c to match the kernels' per-(e, coord) reads
+        djntE = djnt3.transpose(0, 2, 1).reshape(J, E * 3)
+        dtrelE = dtrel3.transpose(0, 2, 1).reshape(J, E * 3)
+        dv3 = np.asarray(model.shapedirs)[inst][..., cols]     # (M*3, 3, E)
+        # rows e*3+c, band lane k (frame vertex): [e*3+c, m, k] = dv3[m*3+k, c, e]
+        dvE3 = dv3.reshape(M, 3, 3, E).transpose(3, 2, 0, 1).reshape(
+            E * 3, M, 3)
+        dvE = _lane_banded(dvE3.astype(np.float32), 128)
+    else:
+        djntE = np.zeros((J, 0), np.float32)
+        dtrelE = np.zeros((J, 0), np.float32)
+        dvE = np.zeros((0, M * 128), np.float32)
+
     return MarkerJacTables(
         lvl=jnp.asarray(_tree_level_masks(parents)),
         par=jnp.asarray(_parent_onehot(parents)),
@@ -821,6 +963,9 @@ def prepare_marker_jac_tables(model: SurfaceModel,
         cf=jnp.asarray(cf),
         hands_mean=jnp.asarray(model.hands_mean, jnp.float32)
         if hand_dof else jnp.zeros((0,), jnp.float32),
+        dtrelE=jnp.asarray(dtrelE),
+        djntE=jnp.asarray(djntE),
+        dvE=jnp.asarray(dvE),
     )
 
 
@@ -848,7 +993,8 @@ def marker_sim_and_jacobian(model: SurfaceModel,
     body_dof = info.body_pose_dof
     hand_dof = model.pose_dof - body_dof if info.has_hands else 0
     P = model.pose_dof
-    D = 3 + P
+    E = tables.n_extra
+    D = 3 + P + E
     M = tables.cf.shape[0] // 8
     RB = 16
     CB = 8
@@ -856,49 +1002,120 @@ def marker_sim_and_jacobian(model: SurfaceModel,
     J1 = tables.pdJ.shape[0]
     featN = (J - 1) * 9 if has_pb else 8
 
-    smalls_kern = functools.partial(_smalls_kernel, parents=parents,
-                                    has_pb=has_pb)
-    marker_kern = functools.partial(_marker_kernel, num_joints=J,
-                                    body_dof=body_dof, hand_dof=hand_dof,
-                                    has_pb=has_pb)
+    if E:
+        smalls_kern = functools.partial(_smalls_kernel_ext, parents=parents,
+                                        has_pb=has_pb, n_extra=E)
+        marker_kern = functools.partial(_marker_kernel_ext, num_joints=J,
+                                        body_dof=body_dof, hand_dof=hand_dof,
+                                        has_pb=has_pb, n_extra=E)
+    else:
+        smalls_kern = functools.partial(_smalls_kernel, parents=parents,
+                                        has_pb=has_pb)
+        marker_kern = functools.partial(_marker_kernel, num_joints=J,
+                                        body_dof=body_dof, hand_dof=hand_dof,
+                                        has_pb=has_pb)
     cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def call_kernels(theta3, trans2, Fp):
+    def call_kernels(theta3, trans2, extra2, Fp):
         nf = Fp // BF
+        s_in = [
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            cspec(), cspec(), cspec(), cspec(), cspec(),
+        ]
+        s_args = [theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
+                  tables.trel]
+        s_out_shape = [
+            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # grot
+            jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),   # atr
+            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # wrot
+            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # wtr
+            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # dr
+            jax.ShapeDtypeStruct((featN, Fp), jnp.float32),  # feat
+        ]
+        s_out = [
+            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ]
+        if E:
+            s_in += [cspec(), cspec(),
+                     pl.BlockSpec((E, BF), lambda fi: (0, fi),
+                                  memory_space=pltpu.VMEM)]
+            s_args += [tables.dtrelE, tables.djntE, extra2]
+            s_out_shape.append(
+                jax.ShapeDtypeStruct((3 * E, J, Fp), jnp.float32))  # datrE
+            s_out.append(pl.BlockSpec((3 * E, J, BF),
+                                      lambda fi: (0, 0, fi),
+                                      memory_space=pltpu.VMEM))
         smalls = pl.pallas_call(
             smalls_kern,
             grid=(nf,),
-            out_shape=[
-                jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # grot
-                jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),   # atr
-                jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # wrot
-                jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # wtr
-                jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # dr
-                jax.ShapeDtypeStruct((featN, Fp), jnp.float32),  # feat
-            ],
-            in_specs=[
-                pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                cspec(), cspec(), cspec(), cspec(), cspec(),
-            ],
-            out_specs=[
-                pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((featN, BF), lambda fi: (0, fi),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_shape=s_out_shape,
+            in_specs=s_in,
+            out_specs=s_out,
             interpret=interpret,
-        )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
-          tables.trel)
+        )(*s_args)
 
+        m_in = [
+            # smalls: frame-block only -> VMEM-resident across markers
+            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                         memory_space=pltpu.VMEM),
+        ]
+        m_args = list(smalls)
+        if E:
+            m_in.append(pl.BlockSpec((3 * E, J, BF),
+                                     lambda fi, mi: (0, 0, fi),
+                                     memory_space=pltpu.VMEM))
+        m_in.append(pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(trans2)
+        if E:
+            m_in.append(pl.BlockSpec((E, BF), lambda fi, mi: (0, fi),
+                                     memory_space=pltpu.VMEM))
+            m_args.append(extra2)
+        m_in += [
+            # shared tables
+            cspec(), cspec(),
+            # per-marker bands
+            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        m_args += [tables.ancT, tables.hc, tables.wT, tables.sT,
+                   tables.vshT, tables.pdrow, tables.pdJ, tables.cf]
+        if E:
+            m_in.append(pl.BlockSpec((3 * E, 128), lambda fi, mi: (0, mi),
+                                     memory_space=pltpu.VMEM))
+            m_args.append(tables.dvE)
         sim_t, jm_t = pl.pallas_call(
             marker_kern,
             grid=(nf, M),
@@ -906,38 +1123,7 @@ def marker_sim_and_jacobian(model: SurfaceModel,
                 jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
                 jax.ShapeDtypeStruct((M * 3, D, Fp), jnp.float32),
             ],
-            in_specs=[
-                # smalls: frame-block only -> VMEM-resident across markers
-                pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
-                             memory_space=pltpu.VMEM),
-                # shared tables
-                cspec(), cspec(),
-                # per-marker bands
-                pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=m_in,
             out_specs=[
                 pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
                              memory_space=pltpu.VMEM),
@@ -945,8 +1131,7 @@ def marker_sim_and_jacobian(model: SurfaceModel,
                              memory_space=pltpu.VMEM),
             ],
             interpret=interpret,
-        )(*smalls, trans2, tables.ancT, tables.hc, tables.wT, tables.sT,
-          tables.vshT, tables.pdrow, tables.pdJ, tables.cf)
+        )(*m_args)
         return sim_t, jm_t
 
     F = x.shape[0]
@@ -962,7 +1147,8 @@ def marker_sim_and_jacobian(model: SurfaceModel,
         fullpose = pose
     theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
     trans2 = trans.T                                           # (3, Fp)
-    sim_t, jm_t = call_kernels(theta3, trans2, Fp)
+    extra2 = x[:, 3 + P:3 + P + E].T if E else None            # (E, Fp)
+    sim_t, jm_t = call_kernels(theta3, trans2, extra2, Fp)
     sim = sim_t.transpose(2, 0, 1)[:F]
     jm = jm_t.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
     return sim, jm
@@ -999,7 +1185,8 @@ def marker_resid_and_wjac(model: SurfaceModel,
     body_dof = info.body_pose_dof
     hand_dof = model.pose_dof - body_dof if info.has_hands else 0
     P = model.pose_dof
-    D = 3 + P
+    E = tables.n_extra
+    D = 3 + P + E
     M = tables.cf.shape[0] // 8
     RB = 16
     CB = 8
@@ -1026,48 +1213,120 @@ def marker_resid_and_wjac(model: SurfaceModel,
         fullpose = pose
     theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
     trans2 = trans.T
+    extra2 = x[:, 3 + P:3 + P + E].T if E else None            # (E, Fp)
 
-    smalls_kern = functools.partial(_smalls_kernel, parents=parents,
-                                    has_pb=has_pb)
-    marker_kern = functools.partial(_marker_jac_w_kernel, num_joints=J,
-                                    body_dof=body_dof, hand_dof=hand_dof,
-                                    has_pb=has_pb)
+    if E:
+        smalls_kern = functools.partial(_smalls_kernel_ext, parents=parents,
+                                        has_pb=has_pb, n_extra=E)
+        marker_kern = functools.partial(_marker_jac_w_kernel_ext,
+                                        num_joints=J, body_dof=body_dof,
+                                        hand_dof=hand_dof, has_pb=has_pb,
+                                        n_extra=E)
+    else:
+        smalls_kern = functools.partial(_smalls_kernel, parents=parents,
+                                        has_pb=has_pb)
+        marker_kern = functools.partial(_marker_jac_w_kernel, num_joints=J,
+                                        body_dof=body_dof, hand_dof=hand_dof,
+                                        has_pb=has_pb)
     cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     nf = Fp // BF
+    s_in = [
+        pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        cspec(), cspec(), cspec(), cspec(), cspec(),
+    ]
+    s_args = [theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
+              tables.trel]
+    s_out_shape = [
+        jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
+        jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
+        jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
+        jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
+        jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
+        jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
+    ]
+    s_out = [
+        pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                     memory_space=pltpu.VMEM),
+    ]
+    if E:
+        s_in += [cspec(), cspec(),
+                 pl.BlockSpec((E, BF), lambda fi: (0, fi),
+                              memory_space=pltpu.VMEM)]
+        s_args += [tables.dtrelE, tables.djntE, extra2]
+        s_out_shape.append(
+            jax.ShapeDtypeStruct((3 * E, J, Fp), jnp.float32))
+        s_out.append(pl.BlockSpec((3 * E, J, BF), lambda fi: (0, 0, fi),
+                                  memory_space=pltpu.VMEM))
     smalls = pl.pallas_call(
         smalls_kern,
         grid=(nf,),
-        out_shape=[
-            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((featN, Fp), jnp.float32),
-        ],
-        in_specs=[
-            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            cspec(), cspec(), cspec(), cspec(), cspec(),
-        ],
-        out_specs=[
-            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((featN, BF), lambda fi: (0, fi),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_shape=s_out_shape,
+        in_specs=s_in,
+        out_specs=s_out,
         interpret=interpret,
-    )(theta3, tables.lvl, tables.par, tables.rootm, tables.jnts, tables.trel)
+    )(*s_args)
 
+    m_in = [
+        pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                     memory_space=pltpu.VMEM),
+    ]
+    m_args = list(smalls)
+    if E:
+        m_in.append(pl.BlockSpec((3 * E, J, BF), lambda fi, mi: (0, 0, fi),
+                                 memory_space=pltpu.VMEM))
+    m_in.append(pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                             memory_space=pltpu.VMEM))
+    m_args.append(trans2)
+    if E:
+        m_in.append(pl.BlockSpec((E, BF), lambda fi, mi: (0, fi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(extra2)
+    m_in += [
+        cspec(), cspec(),
+        pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    m_args += [tables.ancT, tables.hc, tables.wT, tables.sT,
+               tables.vshT, tables.pdrow, tables.pdJ, tables.cf]
+    if E:
+        m_in.append(pl.BlockSpec((3 * E, 128), lambda fi, mi: (0, mi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(tables.dvE)
+    m_in.append(pl.BlockSpec((CB, BF), lambda fi, mi: (mi, fi),
+                             memory_space=pltpu.VMEM))
+    m_args.append(wo)
     rw_t, jm_t = pl.pallas_call(
         marker_kern,
         grid=(nf, M),
@@ -1075,37 +1334,7 @@ def marker_resid_and_wjac(model: SurfaceModel,
             jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
             jax.ShapeDtypeStruct((M * 3, D, Fp), jnp.float32),
         ],
-        in_specs=[
-            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
-                         memory_space=pltpu.VMEM),
-            cspec(), cspec(),
-            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, BF), lambda fi, mi: (mi, fi),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=m_in,
         out_specs=[
             pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
                          memory_space=pltpu.VMEM),
@@ -1113,8 +1342,7 @@ def marker_resid_and_wjac(model: SurfaceModel,
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
-    )(*smalls, trans2, tables.ancT, tables.hc, tables.wT, tables.sT,
-      tables.vshT, tables.pdrow, tables.pdJ, tables.cf, wo)
+    )(*m_args)
     rw = rw_t.transpose(2, 0, 1)[:F]
     jw = jm_t.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
     return rw, jw

@@ -117,9 +117,9 @@ class StageIIOptions:
     compact_buckets: Tuple[int, ...] = (2, 8, 32)
     # GN data-block backend: 'auto' = fused Pallas kernels on TPU, XLA
     # einsum chain elsewhere; 'pallas' forces the kernel (interpret mode off
-    # TPU — slow, test-only); 'xla' forces the einsum chain (required for
-    # the frame-sharded multi-chip path: pallas_call has no SPMD
-    # partitioning rule).
+    # TPU — slow, test-only); 'xla' forces the einsum chain. The multi-chip
+    # path runs phases under `shard_map` (parallel/sharding.py), where the
+    # frame-local kernels run unchanged on each shard's local batch.
     jac_backend: str = "auto"
     # fold the per-frame data weights + residual into the marker kernel
     # (skips the (F, M, 3, D) weighting pass over the Jacobian)
@@ -205,8 +205,20 @@ def prepare_stageii_problem(model: SurfaceModel,
                                  jnp.asarray(local[:, 2]))
     tables = None
     if opts.jac_backend != "xla":
+        # extra (dmpl/expression) dims ride shapedirs columns; bake their
+        # direction tables so the kernels emit the E extra Jacobian columns
+        # (chmosh.py:507-514 dmpl splice, 694-699 expressions)
+        extra_cols = None
+        if opts.optimize_dynamics:
+            nb = opts.num_betas
+            extra_cols = list(range(nb, nb + opts.num_dmpls))
+        elif opts.optimize_face:
+            es = min(opts.expr_start,
+                     sub_model.num_shape_dirs - opts.num_expressions)
+            extra_cols = list(range(es, es + opts.num_expressions))
         tables = prepare_marker_jac_tables(
-            sub_model, indices, coeffs, betas[:opts.num_betas])
+            sub_model, indices, coeffs, betas[:opts.num_betas],
+            extra_cols=extra_cols)
 
     return StageIIProblem(
         sub_model=sub_model,
@@ -501,12 +513,12 @@ def make_stageii_system(prob: StageIIProblem,
             B = jnp.einsum("mcd,mce->de", Jd, Jd)
         return _quad_terms(x, aux, g, B, f)
 
-    # The kernel bakes shaped rest vertices into its tables, so extra
-    # (dmpl/expression) dims — which perturb vertices per frame — need the
-    # generic path.
+    # Extra (dmpl/expression) dims run in-kernel when the tables carry the
+    # matching direction bands (prepare_stageii_problem bakes them from the
+    # same opts, so a mismatch only happens with hand-built tables).
     use_pallas = (
-        E == 0
-        and prob.pallas_tables is not None
+        prob.pallas_tables is not None
+        and prob.pallas_tables.n_extra == E
         and opts.jac_backend in ("auto", "pallas")
         and (opts.jac_backend == "pallas" or jax.default_backend() == "tpu"))
 

@@ -143,8 +143,50 @@ class TestPallasBatchedSystem:
         np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
                                    atol=5e-4 * np.abs(np.asarray(B_r)).max())
 
-    def test_dynamics_falls_back_to_xla(self, rng):
-        opts = StageIIOptions(optimize_dynamics=True, jac_backend="auto")
-        prob, opts, x1, aux1 = _setup("smplh", opts=opts, dof_per_hand=6)
+    def test_dynamics_batched_matches(self, rng):
+        """DMPL extra dims now run in-kernel (no XLA fallback): the batched
+        system with E>0 must equal the per-frame XLA system."""
+        opts = StageIIOptions(optimize_dynamics=True, num_dmpls=4,
+                              jac_backend="pallas")
+        prob, opts, x1, aux1 = _setup("smplh", opts=opts, dof_per_hand=6,
+                                      num_shape_dirs=20)
+        assert prob.pallas_tables is not None
+        assert prob.pallas_tables.n_extra == 4
         system = make_stageii_system(prob, opts, None, "smplh")
-        assert system.system_fn_batched is None
+        assert system.system_fn_batched is not None
+
+        N = 3
+        x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
+        aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
+               for k, v in aux1.items()}
+        f_b, g_b, B_b = system.system_fn_batched(x, aux)
+        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
+                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
+        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
+                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
+
+    def test_face_expressions_batched_matches(self, rng):
+        opts = StageIIOptions(optimize_fingers=True, optimize_face=True,
+                              num_expressions=4, expr_start=16,
+                              jac_backend="pallas")
+        prob, opts, x1, aux1 = _setup("smplx", opts=opts, dof_per_hand=6,
+                                      num_shape_dirs=20)
+        assert prob.pallas_tables is not None
+        assert prob.pallas_tables.n_extra == 4
+        prior = make_gmm_prior(dim=63, num_components=3, seed=4, scale=0.3)
+        system = make_stageii_system(prob, opts, prior, "smplx")
+        assert system.system_fn_batched is not None
+
+        N = 2
+        x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
+        aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
+               for k, v in aux1.items()}
+        f_b, g_b, B_b = system.system_fn_batched(x, aux)
+        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
+        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
+                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
+        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
+                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
