@@ -140,32 +140,45 @@ def _init_latents(model: SurfaceModel, layout_vids: np.ndarray,
     return can_v[layout_vids] + vn[layout_vids] * m2b[:, None]
 
 
-def mosh_stagei_solve(model: SurfaceModel,
-                      frames_obs: np.ndarray,
-                      frames_mask: np.ndarray,
-                      latent_labels: List[str],
-                      layout_vids: np.ndarray,
-                      m2b: np.ndarray,
-                      type_masks: Dict[str, np.ndarray],
-                      opts: StageIOptions = StageIOptions(),
-                      prior: Optional[MaxMixturePrior] = None,
-                      betas_init: Optional[np.ndarray] = None,
-                      exclude_vertex_mask: Optional[np.ndarray] = None,
-                      head_corr: Optional[tuple] = None) -> StageIResult:
-    """Run the full annealed stage-i solve.
+class _StageICtx(NamedTuple):
+    """Loop-invariant context of a stage-i solve (built once, used by every
+    annealing step and by the scipy parity tests)."""
+    model: SurfaceModel
+    lay: _Layout
+    opts: StageIOptions
+    frames_obs: jnp.ndarray
+    maskf: jnp.ndarray
+    faces_np: np.ndarray
+    exclude_vertex_mask: jnp.ndarray
+    prior_fn: object
+    prior_ids: object
+    m2b_j: jnp.ndarray
+    init_anchor: jnp.ndarray
+    init_wt_type: jnp.ndarray
+    head_corr_mat: object
+    head_ids: object
+    parts: dict
+    face_ids: object
+    base_wt_data: float
 
-    Args:
-      frames_obs: (F, M, 3) observed markers (meters), aligned to
-        latent_labels; frames_mask (F, M) availability.
-      layout_vids/m2b/type_masks: from `markers.layout.layout_arrays`.
-      betas_init: precomputed betas (chmosh.py:93-98) — optimization of betas
-        still follows opts.optimize_betas.
-      head_corr: optional (corr (H, H), head_marker_indices (H,)) — head
-        markers' init anchors are coupled through the correlation matrix
-        instead of anchored independently (chmosh.py:252-266, 362-369).
+
+def prepare_stagei_context(model: SurfaceModel,
+                           frames_obs: np.ndarray,
+                           frames_mask: np.ndarray,
+                           layout_vids: np.ndarray,
+                           m2b: np.ndarray,
+                           type_masks: Dict[str, np.ndarray],
+                           opts: StageIOptions = StageIOptions(),
+                           prior: Optional[MaxMixturePrior] = None,
+                           betas_init: Optional[np.ndarray] = None,
+                           exclude_vertex_mask: Optional[np.ndarray] = None,
+                           head_corr: Optional[tuple] = None):
+    """Build the loop-invariant stage-i context + initial state.
+
+    Returns (ctx, (betas, latents, poses, trans, exprs)); the init includes
+    the per-frame rigid alignment (perform_rigid_adjustment, chmosh.py:228).
     """
     model_type = model.model_type
-    info = MODEL_TYPE_INFO[model_type]
     parts = pose_part_ids(model_type, optimize_toes=opts.optimize_toes)
     F, M = frames_mask.shape
     P = model.pose_dof
@@ -183,7 +196,6 @@ def mosh_stagei_solve(model: SurfaceModel,
         exclude_vertex_mask = smplx_eyeball_mask(model.v_template.shape[0])
     exclude_vertex_mask = jnp.asarray(exclude_vertex_mask)
 
-    from moshpp_tpu.priors.gmm import MaxMixturePrior, gmm_prior_residual
     if isinstance(prior, MaxMixturePrior):
         prior_fn = lambda pose_body: gmm_prior_residual(prior, pose_body)
     else:
@@ -196,8 +208,6 @@ def mosh_stagei_solve(model: SurfaceModel,
     # per-frame availability, in stage-i (chmosh.py:327)
     base_wt_data = wt("data") * (NUM_TRAIN_MARKERS / M)
 
-    body_ids = jnp.asarray([i for i in parts["body"] or [] ], jnp.int32) \
-        if parts["body"] else None
     # prior over the full body slice incl toes (chmosh.py:354)
     prior_ids = None
     if parts["body"]:
@@ -246,69 +256,91 @@ def mosh_stagei_solve(model: SurfaceModel,
         init_wt_type[np.asarray(head_corr[1])] = 0.0
     init_wt_type = jnp.asarray(init_wt_type)
 
-    annealing = tuple(wt("annealing"))
-    errs: Dict[str, float] = {}
+    ctx = _StageICtx(
+        model=model, lay=lay, opts=opts, frames_obs=frames_obs, maskf=maskf,
+        faces_np=faces_np, exclude_vertex_mask=exclude_vertex_mask,
+        prior_fn=prior_fn, prior_ids=prior_ids, m2b_j=m2b_j,
+        init_anchor=init_anchor, init_wt_type=init_wt_type,
+        head_corr_mat=head_corr_mat, head_ids=head_ids, parts=parts,
+        face_ids=face_ids, base_wt_data=base_wt_data)
+    return ctx, (betas, latents, poses, trans, exprs)
 
-    for tidx, anneal in enumerate(annealing):
-        detailed = tidx > len(annealing) - 3  # last two steps, chmosh.py:314
 
-        # ---- freeze discrete structure at current state (host) -------------
-        can_v = _full_can_verts(model, betas)
-        idx = select_frame_indices(can_v, latents, k=opts.knn_k,
-                                   exclude_mask=exclude_vertex_mask)
-        stacked = np.asarray(idx.stacked)
-        vn_frozen = vertex_normals(can_v, model.faces)
+def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
+                      detailed: bool):
+    """Freeze discrete structure at (betas, latents) and assemble one
+    annealing step: returns (residual_fn over the packed vector, pmask).
 
-        # candidate faces per marker for the surface term, ranked by EXACT
-        # point-triangle distance at the freeze state (host-side, 4x per
-        # stage-i) — centroid ranking can miss the true nearest face on
-        # dense meshes by ~0.2 mm (tests/test_scan2mesh.py measures this)
-        from moshpp_tpu.ops.point_mesh import closest_point_on_triangles
-        cv = np.asarray(can_v)
-        ta, tb, tc = (jnp.asarray(cv[faces_np[:, i]]) for i in range(3))
-        pj = jnp.asarray(latents)[:, None, :]
-        bary = closest_point_on_triangles(pj, ta[None], tb[None], tc[None])
-        cp = (bary[..., 0:1] * ta[None] + bary[..., 1:2] * tb[None]
-              + bary[..., 2:3] * tc[None])
-        d_exact = np.asarray(jnp.sum((pj - cp) ** 2, -1))     # (M, F)
-        cand_faces = np.argsort(d_exact, axis=1)[:, :opts.surf_candidates]
-        cand_corner_vids = faces_np[cand_faces]                            # (M, K, 3)
+    One reference annealing step (chmosh.py:313-406): data rows, GMM prior,
+    init anchors, betas regularizer, signed surface-distance term, and — on
+    'detailed' steps — finger/face regularizers.
+    """
+    model, lay, opts = ctx.model, ctx.lay, ctx.opts
+    info = MODEL_TYPE_INFO[model.model_type]
+    wt = opts.wt
+    F, M, P, nb, ne = lay.F, lay.M, lay.P, lay.nb, lay.ne
+    frames_obs, maskf = ctx.frames_obs, ctx.maskf
+    faces_np = ctx.faces_np
+    prior_fn, prior_ids = ctx.prior_fn, ctx.prior_ids
+    init_anchor, m2b_j = ctx.init_anchor, ctx.m2b_j
+    head_corr_mat, head_ids = ctx.head_corr_mat, ctx.head_ids
+    parts, face_ids = ctx.parts, ctx.face_ids
 
-        # vertex unions + local remaps
-        can_union = np.unique(np.concatenate(
-            [stacked.ravel(), cand_corner_vids.ravel()]))
-        can_remap = {v: i for i, v in enumerate(can_union)}
-        idx_can_local = MarkerFrameIndices(
-            *(jnp.asarray(np.vectorize(can_remap.get)(stacked[:, i]), jnp.int32)
-              for i in range(3)))
-        cand_local = jnp.asarray(
-            np.vectorize(can_remap.get)(cand_corner_vids), jnp.int32)
+    # ---- freeze discrete structure at current state (host) -------------
+    can_v = _full_can_verts(model, betas)
+    idx = select_frame_indices(can_v, latents, k=opts.knn_k,
+                               exclude_mask=ctx.exclude_vertex_mask)
+    stacked = np.asarray(idx.stacked)
+    vn_frozen = vertex_normals(can_v, model.faces)
 
-        data_union = np.unique(stacked)
-        data_remap = {v: i for i, v in enumerate(data_union)}
-        idx_posed_local = MarkerFrameIndices(
-            *(jnp.asarray(np.vectorize(data_remap.get)(stacked[:, i]), jnp.int32)
-              for i in range(3)))
+    # candidate faces per marker for the surface term, ranked by EXACT
+    # point-triangle distance at the freeze state (host-side, 4x per
+    # stage-i) — centroid ranking can miss the true nearest face on
+    # dense meshes by ~0.2 mm (tests/test_scan2mesh.py measures this)
+    cv = np.asarray(can_v)
+    ta, tb, tc = (jnp.asarray(cv[faces_np[:, i]]) for i in range(3))
+    pj = jnp.asarray(latents)[:, None, :]
+    bary = closest_point_on_triangles(pj, ta[None], tb[None], tc[None])
+    cp = (bary[..., 0:1] * ta[None] + bary[..., 1:2] * tb[None]
+          + bary[..., 2:3] * tc[None])
+    d_exact = np.asarray(jnp.sum((pj - cp) ** 2, -1))     # (M, F)
+    cand_faces = np.argsort(d_exact, axis=1)[:, :opts.surf_candidates]
+    cand_corner_vids = faces_np[cand_faces]                            # (M, K, 3)
 
-        sub_model = model.subset(data_union)          # LBS path (12 frames)
-        can_template = jnp.asarray(np.asarray(model.v_template)[can_union])
-        can_shapedirs = jnp.asarray(np.asarray(model.shapedirs)[can_union][..., :nb])
-        vn_cand = jax.lax.stop_gradient(vn_frozen)    # (V, 3), constant
+    # vertex unions + local remaps
+    can_union = np.unique(np.concatenate(
+        [stacked.ravel(), cand_corner_vids.ravel()]))
+    can_remap = {v: i for i, v in enumerate(can_union)}
+    idx_can_local = MarkerFrameIndices(
+        *(jnp.asarray(np.vectorize(can_remap.get)(stacked[:, i]), jnp.int32)
+          for i in range(3)))
+    cand_local = jnp.asarray(
+        np.vectorize(can_remap.get)(cand_corner_vids), jnp.int32)
 
-        # frozen sign normals at candidate corners (M, K, 3, 3)
-        vn_corners = jnp.asarray(np.asarray(vn_frozen)[cand_corner_vids])
+    data_union = np.unique(stacked)
+    data_remap = {v: i for i, v in enumerate(data_union)}
+    idx_posed_local = MarkerFrameIndices(
+        *(jnp.asarray(np.vectorize(data_remap.get)(stacked[:, i]), jnp.int32)
+          for i in range(3)))
 
-        # ---- weights for this annealing step --------------------------------
-        wt_data = base_wt_data / anneal
-        wt_poseB = wt("poseB") * anneal
-        wt_beta = wt("betas") * anneal
-        wt_init_step = init_wt_type * anneal
-        wt_surf = wt("surf")
-        wt_poseH = wt("poseH") * anneal
-        wt_poseF = wt("poseF") * anneal
-        wt_expr = wt("expr") * anneal
+    sub_model = model.subset(data_union)          # LBS path (12 frames)
+    can_template = jnp.asarray(np.asarray(model.v_template)[can_union])
+    can_shapedirs = jnp.asarray(np.asarray(model.shapedirs)[can_union][..., :nb])
 
-        def residual(x):
+    # frozen sign normals at candidate corners (M, K, 3, 3)
+    vn_corners = jnp.asarray(np.asarray(vn_frozen)[cand_corner_vids])
+
+    # ---- weights for this annealing step --------------------------------
+    wt_data = ctx.base_wt_data / anneal
+    wt_poseB = wt("poseB") * anneal
+    wt_beta = wt("betas") * anneal
+    wt_init_step = ctx.init_wt_type * anneal
+    wt_surf = wt("surf")
+    wt_poseH = wt("poseH") * anneal
+    wt_poseF = wt("poseF") * anneal
+    wt_expr = wt("expr") * anneal
+
+    def residual(x):
             b, lat, ps, tr, ex = lay.split(x)
             can_sub = can_template + jnp.einsum("vcb,b->vc", can_shapedirs, b)
             coeffs = marker_coeffs(can_sub, lat, idx_can_local)
@@ -372,24 +404,67 @@ def mosh_stagei_solve(model: SurfaceModel,
 
             return jnp.concatenate(terms)
 
-        # ---- parameter mask for this step -----------------------------------
-        pmask = np.zeros(lay.dim, np.float32)
-        if opts.optimize_betas:
-            pmask[:nb] = 1.0
-        pmask[nb:nb + 3 * M] = 1.0
-        pose_on = list(parts["root"]) + list(parts["body"])
-        if detailed and opts.optimize_fingers and info.has_hands:
-            pose_on += list(range(info.body_pose_dof, P))
-        if detailed and opts.optimize_face:
-            pose_on += list(face_ids)
-        o = nb + 3 * M
-        for f in range(F):
-            for i in sorted(set(pose_on)):
-                pmask[o + f * P + i] = 1.0
-        pmask[o + F * P: o + F * P + 3 * F] = 1.0   # trans
-        if ne and detailed and opts.optimize_face:
-            pmask[o + F * P + 3 * F:] = 1.0
+    # ---- parameter mask for this step -----------------------------------
+    pmask = np.zeros(lay.dim, np.float32)
+    if opts.optimize_betas:
+        pmask[:nb] = 1.0
+    pmask[nb:nb + 3 * M] = 1.0
+    pose_on = list(parts["root"]) + list(parts["body"])
+    if detailed and opts.optimize_fingers and info.has_hands:
+        pose_on += list(range(info.body_pose_dof, P))
+    if detailed and opts.optimize_face:
+        pose_on += list(face_ids)
+    o = nb + 3 * M
+    for f in range(F):
+        for i in sorted(set(pose_on)):
+            pmask[o + f * P + i] = 1.0
+    pmask[o + F * P: o + F * P + 3 * F] = 1.0   # trans
+    if ne and detailed and opts.optimize_face:
+        pmask[o + F * P + 3 * F:] = 1.0
 
+    return residual, pmask
+
+
+def mosh_stagei_solve(model: SurfaceModel,
+                      frames_obs: np.ndarray,
+                      frames_mask: np.ndarray,
+                      latent_labels: List[str],
+                      layout_vids: np.ndarray,
+                      m2b: np.ndarray,
+                      type_masks: Dict[str, np.ndarray],
+                      opts: StageIOptions = StageIOptions(),
+                      prior: Optional[MaxMixturePrior] = None,
+                      betas_init: Optional[np.ndarray] = None,
+                      exclude_vertex_mask: Optional[np.ndarray] = None,
+                      head_corr: Optional[tuple] = None) -> StageIResult:
+    """Run the full annealed stage-i solve.
+
+    Args:
+      frames_obs: (F, M, 3) observed markers (meters), aligned to
+        latent_labels; frames_mask (F, M) availability.
+      layout_vids/m2b/type_masks: from `markers.layout.layout_arrays`.
+      betas_init: precomputed betas (chmosh.py:93-98) — optimization of betas
+        still follows opts.optimize_betas.
+      head_corr: optional (corr (H, H), head_marker_indices (H,)) — head
+        markers' init anchors are coupled through the correlation matrix
+        instead of anchored independently (chmosh.py:252-266, 362-369).
+    """
+    ctx, state = prepare_stagei_context(
+        model, frames_obs, frames_mask, layout_vids, m2b, type_masks,
+        opts=opts, prior=prior, betas_init=betas_init,
+        exclude_vertex_mask=exclude_vertex_mask, head_corr=head_corr)
+    betas, latents, poses, trans, exprs = state
+    lay = ctx.lay
+    F, M, P, nb, ne = lay.F, lay.M, lay.P, lay.nb, lay.ne
+    frames_obs, maskf = ctx.frames_obs, ctx.maskf
+
+    annealing = tuple(opts.wt("annealing"))
+    errs: Dict[str, float] = {}
+
+    for tidx, anneal in enumerate(annealing):
+        detailed = tidx > len(annealing) - 3  # last two steps, chmosh.py:314
+        residual, pmask = build_stagei_step(ctx, betas, latents, anneal,
+                                            detailed)
         x0 = lay.pack(betas, latents, poses, trans, exprs if ne else None)
         res = jax.jit(lambda xx: dogleg_solve(
             residual, xx,
@@ -405,7 +480,7 @@ def mosh_stagei_solve(model: SurfaceModel,
     markers_latent_vids = {l: int(v) for l, v in zip(latent_labels, snap)}
 
     idx = select_frame_indices(can_v, latents, k=opts.knn_k,
-                               exclude_mask=exclude_vertex_mask)
+                               exclude_mask=ctx.exclude_vertex_mask)
     coeffs = marker_coeffs(can_v, latents, idx)
 
     def sim_frame(pose_f, trans_f, ex_f):

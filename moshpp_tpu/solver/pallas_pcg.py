@@ -26,6 +26,17 @@ from jax.experimental.pallas import tpu as pltpu
 BF = 128
 
 
+def _vmem_params(D: int):
+    """Raise the scoped-VMEM limit when the double-buffered (D, D, BF) B
+    block outgrows the 16 MB default (D=117 fits; extras-augmented D=125
+    needs 16.25 MB). v5e/v5p have 128 MB physical VMEM; budget the two B
+    buffers plus ~2 MB of vectors/temporaries, floor at the default."""
+    need = 2 * D * D * BF * 4 + (2 << 20)
+    if need <= (16 << 20):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 << 20))
+
+
 def _pcg_kernel(g_ref, b_ref, plin_ref, p_ref, ok_ref, *, iters, D):
     """One 128-frame block: Jacobi-PCG on B p = -g, warm-started from plin.
 
@@ -240,6 +251,7 @@ def dogleg_direction_batched(g: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(D),
     )(gt, Bt, pt, mt, dt)
     return p_t.T[:N], pgn_t.T[:N], pred_t[0, :N]
 
@@ -285,5 +297,6 @@ def pcg_direction_batched(g: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
+        compiler_params=_vmem_params(D),
     )(gt, Bt, pt)
     return p_t.T[:N], ok_t[0, :N] > 0.5

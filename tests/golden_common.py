@@ -1,0 +1,160 @@
+"""Deterministic per-family tiny problems for the recorded-fixture parity
+pack.
+
+Real chumpy outputs need license-gated SMPL files and a reference install
+(neither exists here), so the closest attainable regression net is a set of
+COMMITTED golden outputs: for each model family, a fixed tiny stage-ii
+problem whose (a) residual vector at a fixed probe point and (b) full-solve
+outcome are recorded in tests/goldens/*.npz. Any change to weight tables,
+prior whitening, or system assembly moves (a) far beyond fp noise; solver
+regressions move (b).
+
+Regenerate with `python tools/make_goldens.py` (CPU) after an INTENTIONAL
+semantics change, and say why in the commit message.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models import make_synthetic_model, lbs_forward
+from moshpp_tpu.models.body_model import pose_part_ids
+from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                             reconstruct_markers,
+                                             select_frame_indices)
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, make_stageii_residual,
+                                         prepare_stageii_problem,
+                                         mosh_stageii_solve, _num_extra)
+from moshpp_tpu.priors import make_gmm_prior
+
+FAMILIES = ("smpl", "smplh", "smplx", "mano", "animal_horse", "animal_dog",
+            "object")
+
+_MK = {
+    # family-specific model/options knobs; every family gets 300 verts,
+    # 10 markers, 4 frames
+    "smpl": dict(),
+    "smplh": dict(dof_per_hand=6),
+    "smplx": dict(dof_per_hand=6, num_shape_dirs=20),
+    "mano": dict(dof_per_hand=6),
+    "animal_horse": dict(),
+    "animal_dog": dict(),
+    "object": dict(),
+}
+
+
+def _family_opts(family: str) -> StageIIOptions:
+    if family == "smplx":
+        return StageIIOptions(maxiter=40, smoothing_sweeps=1, anchor_stride=2,
+                              optimize_fingers=True, optimize_face=True,
+                              num_expressions=4, expr_start=16)
+    if family == "smplh":
+        return StageIIOptions(maxiter=40, smoothing_sweeps=1, anchor_stride=2,
+                              optimize_fingers=True)
+    return StageIIOptions(maxiter=40, smoothing_sweeps=1, anchor_stride=2)
+
+
+def _family_prior(family: str):
+    if family in ("mano", "object"):
+        return None
+    dim = len(pose_part_ids(family, optimize_toes=True)["body"])
+    if family == "animal_horse":
+        # callable prior, as head wires for the horse (mahalanobis residual
+        # around a fixed synthetic mean — deterministic, seed-pinned)
+        mean = jnp.asarray(
+            np.random.default_rng(21).normal(size=dim) * 0.05, jnp.float32)
+        return lambda pose_body: (pose_body - mean) * 0.8
+    return make_gmm_prior(dim=dim, num_components=3, seed=13, scale=0.3)
+
+
+def build_family_problem(family: str):
+    """Deterministic tiny stage-ii problem + fixed probe point."""
+    rng = np.random.default_rng(101)
+    M, F = 10, 4
+    if family == "object":
+        from moshpp_tpu.models.object_model import (RigidObjectModel,
+                                                    object_as_surface_model)
+        from moshpp_tpu.models.synthetic import icosphere
+        sv, sf = icosphere(2)
+        obj = RigidObjectModel(
+            v_template=jnp.asarray(sv * np.array([0.11, 0.07, 0.19]),
+                                   jnp.float32),
+            faces=jnp.asarray(sf, jnp.int32))
+        model = object_as_surface_model(obj)
+    else:
+        model = make_synthetic_model(family, num_verts=300, seed=9,
+                                     **_MK[family])
+    opts = _family_opts(family)
+    prior = _family_prior(family)
+
+    nb = min(16, model.num_shape_dirs)
+    betas = (rng.normal(size=nb) * 0.3).astype(np.float32)
+    if family == "object":
+        betas = np.zeros(nb, np.float32)      # rigid: no shape space
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :nb], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], M, replace=False)
+    latents = (can_v[vids] + vn[vids] * 0.0095).astype(np.float32)
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+
+    # smooth truth motion: random-walk poses, drifting trans
+    P = model.pose_dof
+    poses = np.zeros((F, P), np.float32)
+    poses[0] = rng.normal(size=P) * 0.12
+    for f in range(1, F):
+        poses[f] = poses[f - 1] + rng.normal(size=P) * 0.03
+    trans = (np.cumsum(rng.normal(size=(F, 3)) * 0.02, axis=0)).astype(
+        np.float32)
+
+    def sim(p, t):
+        return reconstruct_markers(lbs_forward(model, p, jnp.asarray(betas), t),
+                                   idx, coeffs)
+
+    obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans)))
+    mask = np.ones((F, M), bool)
+    mask[1, :2] = False            # two markers missing in one frame
+
+    prob = prepare_stageii_problem(model, betas, latents, opts=opts)
+    E = _num_extra(prob.sub_model, opts)
+    Psub = prob.sub_model.pose_dof
+
+    x_probe = jnp.asarray(
+        np.random.default_rng(33).normal(size=3 + Psub + E) * 0.15,
+        jnp.float32)
+    aux_probe = {
+        "markers": jnp.asarray(obs[0]),
+        "mask": jnp.asarray(mask[0], jnp.float32),
+        "wt_data": jnp.float32(400.0 * 46.0 / M),
+        "anneal": jnp.float32(1.0),
+        "wt_pose_scale": jnp.float32(1.0),
+        "velo_anchor": jnp.zeros(Psub, jnp.float32),
+        "velo_on": jnp.float32(0.0),
+        "extra_anchor": jnp.zeros(E, jnp.float32),
+        "extra_on": jnp.float32(1.0 if E else 0.0),
+    }
+    return dict(model=model, prob=prob, opts=opts, prior=prior, obs=obs,
+                mask=mask, x_probe=x_probe, aux_probe=aux_probe)
+
+
+def golden_probe(family: str) -> np.ndarray:
+    """Residual rows at the fixed probe point — pins weights/priors/assembly
+    to fp noise."""
+    fp = build_family_problem(family)
+    residual = make_stageii_residual(fp["prob"], fp["opts"], fp["prior"],
+                                     family)
+    return np.asarray(residual(fp["x_probe"], fp["aux_probe"]))
+
+
+def golden_solve(family: str) -> dict:
+    """Full tiny stage-ii solve outcome."""
+    fp = build_family_problem(family)
+    res = mosh_stageii_solve(fp["prob"], fp["opts"], fp["obs"], fp["mask"],
+                             prior=fp["prior"], model_type=family)
+    return {
+        "data_err": np.asarray(res.data_err),
+        "markers_sim": np.asarray(res.markers_sim),
+        "trans": np.asarray(res.trans),
+    }

@@ -18,6 +18,10 @@ from moshpp_tpu.priors.mahalanobis import (MahalanobisPrior,
                                            horse_joint_angle_residual,
                                            mahalanobis_residual)
 
+# solver-compile-heavy: excluded from the fast pre-commit gate
+# (pytest -m 'not slow'); the full suite remains the CI bar
+pytestmark = pytest.mark.slow
+
 
 class TestDMPL:
     def test_loader_splices_columns(self, tmp_path, rng):

@@ -1,0 +1,192 @@
+"""Fast hot-path smoke: TRACE every kernel and solver program without
+compiling or executing it.
+
+`jax.eval_shape` runs the Python bodies of the Pallas kernels and the dogleg
+loop under abstract tracing — which is exactly the level at which the
+round-2 HEAD breakage lived (an undefined name inside a kernel body raised
+at trace time). These tests give the fast pre-commit gate
+(`pytest -m "not slow"`, see STATUS.md) structural coverage of the entire
+TPU path in seconds; the numeric cross-validation lives in the slow suite
+(test_pallas_jac / test_stageii_system / test_solver / test_parity).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moshpp_tpu.models import make_synthetic_model
+from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                             select_frame_indices)
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, make_stageii_system,
+                                         prepare_stageii_problem, _num_extra)
+from moshpp_tpu.priors import make_gmm_prior
+
+
+def _tiny(opts=None, markers=6, **mk):
+    rng = np.random.default_rng(5)
+    model = make_synthetic_model("smplh", num_verts=120, seed=5,
+                                 dof_per_hand=6, **mk)
+    opts = opts or StageIIOptions(jac_backend="pallas")
+    betas = (rng.normal(size=16) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], markers, replace=False)
+    latents = can_v[vids] + vn[vids] * 0.0095
+    prob = prepare_stageii_problem(model, betas, latents, opts=opts)
+    return model, prob, opts
+
+
+@pytest.mark.parametrize("extras", [0, 4])
+def test_marker_kernels_trace(extras):
+    """All three kernel entry points build their jaxprs (E=0 and E>0)."""
+    from moshpp_tpu.ops.pallas_marker_jac import (marker_resid_and_wjac,
+                                                  marker_sim,
+                                                  marker_sim_and_jacobian)
+
+    if extras:
+        opts = StageIIOptions(jac_backend="pallas", optimize_dynamics=True,
+                              num_dmpls=extras)
+        model, prob, opts = _tiny(opts, num_shape_dirs=16 + extras)
+    else:
+        model, prob, opts = _tiny()
+    tables = prob.pallas_tables
+    assert tables is not None and tables.n_extra == extras
+    F, M = 8, tables.cf.shape[0] // 8
+    D = 3 + prob.sub_model.pose_dof + extras
+    x = jax.ShapeDtypeStruct((F, D), jnp.float32)
+    obs = jax.ShapeDtypeStruct((F, M, 3), jnp.float32)
+    wrow = jax.ShapeDtypeStruct((F, M), jnp.float32)
+
+    sm = jax.eval_shape(
+        lambda xx: marker_sim(prob.sub_model, tables, xx, interpret=True), x)
+    assert sm.shape == (F, M, 3)
+    sim, jm = jax.eval_shape(
+        lambda xx: marker_sim_and_jacobian(prob.sub_model, tables, xx,
+                                           interpret=True), x)
+    assert sim.shape == (F, M, 3) and jm.shape == (F, M, 3, D)
+    rw, jw = jax.eval_shape(
+        lambda xx, oo, ww: marker_resid_and_wjac(prob.sub_model, tables, xx,
+                                                 oo, ww, interpret=True),
+        x, obs, wrow)
+    assert rw.shape == (F, M, 3) and jw.shape == (F, M, 3, D)
+
+
+def test_stageii_batched_system_traces():
+    """The fused batched GN assembly (kernel path) traces end to end."""
+    model, prob, opts = _tiny()
+    prior = make_gmm_prior(dim=63, num_components=2, seed=1, scale=0.3)
+    system = make_stageii_system(prob, opts, prior, "smplh")
+    assert system.system_fn_batched is not None
+    F, M = 8, 6
+    P = prob.sub_model.pose_dof
+    x = jax.ShapeDtypeStruct((F, 3 + P), jnp.float32)
+    aux = {
+        "markers": jax.ShapeDtypeStruct((F, M, 3), jnp.float32),
+        "mask": jax.ShapeDtypeStruct((F, M), jnp.float32),
+        "wt_data": jax.ShapeDtypeStruct((F,), jnp.float32),
+        "anneal": jax.ShapeDtypeStruct((F,), jnp.float32),
+        "wt_pose_scale": jax.ShapeDtypeStruct((F,), jnp.float32),
+        "velo_anchor": jax.ShapeDtypeStruct((F, P), jnp.float32),
+        "velo_on": jax.ShapeDtypeStruct((F,), jnp.float32),
+        "extra_anchor": jax.ShapeDtypeStruct((F, 0), jnp.float32),
+        "extra_on": jax.ShapeDtypeStruct((F,), jnp.float32),
+    }
+    f, g, B = jax.eval_shape(system.system_fn_batched, x, aux)
+    assert f.shape == (F,) and g.shape == (F, 3 + P)
+    assert B.shape == (F, 3 + P, 3 + P)
+    fc = jax.eval_shape(system.cost_fn_batched, x, aux)
+    assert fc.shape == (F,)
+
+
+def test_dogleg_solver_traces():
+    """The compacted batched dogleg (with the fused direction kernels)
+    traces: while_loop bodies, compaction gathers, both linear solvers."""
+    from moshpp_tpu.solver.gauss_newton import (DoglegOptions, GNSystem,
+                                                batched_system_solve)
+
+    N, D = 64, 12
+
+    def system_fn(x, aux):
+        r = x - aux["t"]
+        return r @ r, 2 * r, 2.0 * jnp.eye(D, dtype=x.dtype)
+
+    def cost_fn(x, aux):
+        r = x - aux["t"]
+        return r @ r
+
+    sysm = GNSystem(system_fn, cost_fn, None, None)
+    x0 = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    aux = {"t": jax.ShapeDtypeStruct((N, D), jnp.float32)}
+    for solver in ("cholesky", "pcg"):
+        res = jax.eval_shape(
+            lambda xx, aa: batched_system_solve(
+                sysm, xx, aa, DoglegOptions(maxiter=3, linear_solver=solver),
+                compact_buckets=(2, 8)), x0, aux)
+        assert res.x.shape == (N, D)
+
+
+def test_direction_kernels_trace():
+    from moshpp_tpu.solver.pallas_pcg import (dogleg_direction_batched,
+                                              pcg_direction_batched)
+
+    N, D = 32, 117
+    g = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    B = jax.ShapeDtypeStruct((N, D, D), jnp.float32)
+    v = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    d = jax.ShapeDtypeStruct((N,), jnp.float32)
+    p, pgn, pred = jax.eval_shape(
+        lambda *a: dogleg_direction_batched(*a, iters=4, damping=1e-4,
+                                            interpret=True), g, B, v, v, d)
+    assert p.shape == (N, D) and pred.shape == (N,)
+    p2, ok = jax.eval_shape(
+        lambda *a: pcg_direction_batched(*a, iters=4, interpret=True),
+        g, B, v)
+    assert p2.shape == (N, D) and ok.shape == (N,)
+
+
+def test_direction_kernels_trace_extras_width():
+    """D=125 (8 extra dims) — the width that exceeded the default scoped
+    VMEM limit before _vmem_params raised it."""
+    from moshpp_tpu.solver.pallas_pcg import (_vmem_params,
+                                              dogleg_direction_batched)
+
+    assert _vmem_params(117) is None
+    assert _vmem_params(125) is not None
+    N, D = 16, 125
+    g = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    B = jax.ShapeDtypeStruct((N, D, D), jnp.float32)
+    v = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    d = jax.ShapeDtypeStruct((N,), jnp.float32)
+    p, _, _ = jax.eval_shape(
+        lambda *a: dogleg_direction_batched(*a, iters=2, damping=1e-4,
+                                            interpret=True), g, B, v, v, d)
+    assert p.shape == (N, D)
+
+
+def test_stagei_step_traces():
+    """One frozen stage-i annealing step assembles and its packed residual
+    traces with the expected row count."""
+    from moshpp_tpu.pipeline.stagei import (StageIOptions, build_stagei_step,
+                                            prepare_stagei_context)
+
+    rng = np.random.default_rng(3)
+    model = make_synthetic_model("smplh", num_verts=120, seed=3,
+                                 dof_per_hand=6)
+    M, F = 6, 2
+    obs = rng.normal(size=(F, M, 3)).astype(np.float32) * 0.2
+    opts = StageIOptions(maxiter=5, num_betas=16)
+    prior = make_gmm_prior(dim=63, num_components=2, seed=2, scale=0.3)
+    ctx, (betas, latents, poses, trans, _) = prepare_stagei_context(
+        model, obs, np.ones((F, M), bool),
+        rng.choice(120, M, replace=False),
+        np.full(M, 0.0095, np.float32), {"body": np.ones(M, bool)},
+        opts=opts, prior=prior)
+    residual, pmask = build_stagei_step(ctx, betas, latents, anneal=1.0,
+                                        detailed=True)
+    x0 = ctx.lay.pack(betas, latents, poses, trans, None)
+    assert pmask.shape == (ctx.lay.dim,)
+    r = jax.eval_shape(residual, jax.ShapeDtypeStruct(x0.shape, jnp.float32))
+    assert r.ndim == 1 and r.shape[0] > F * M * 3

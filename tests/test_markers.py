@@ -159,6 +159,7 @@ class TestVisualizationExtras:
         assert "<canvas" in html and '"fps": 60.0' in html
         assert '"L7"' in html
 
+    @pytest.mark.slow    # runs a real (tiny) stage-ii solve per phase
     def test_phase_snapshot_hook(self, tmp_path, rng):
         import jax.numpy as jnp
         from moshpp_tpu.models import make_synthetic_model, lbs_forward

@@ -16,6 +16,10 @@ from moshpp_tpu.ops.marker_transform import (marker_coeffs,
 from moshpp_tpu.ops.pallas_marker_jac import build_marker_jacobian_fn
 from moshpp_tpu.ops.surface import vertex_normals
 
+# solver-compile-heavy: excluded from the fast pre-commit gate
+# (pytest -m 'not slow'); the full suite remains the CI bar
+pytestmark = pytest.mark.slow
+
 
 def _problem(model_type, rng, num_markers=7, dof_per_hand=6):
     model = make_synthetic_model(model_type, num_verts=300, seed=4,

@@ -17,6 +17,10 @@ from moshpp_tpu.pipeline.stageii import (StageIIOptions, mosh_stageii_solve,
 from moshpp_tpu.pipeline.stagei import StageIOptions, mosh_stagei_solve
 from moshpp_tpu.priors import make_gmm_prior
 
+# solver-compile-heavy: excluded from the fast pre-commit gate
+# (pytest -m 'not slow'); the full suite remains the CI bar
+pytestmark = pytest.mark.slow
+
 
 def _make_truth(model, num_markers, num_frames, rng, pose_scale=0.15,
                 betas_scale=0.5):

@@ -225,6 +225,7 @@ class TestCompaction:
                                    atol=1e-3)
 
 
+@pytest.mark.slow
 class TestPallasPCG:
     def test_kernel_matches_xla_pcg(self, rng):
         from moshpp_tpu.solver.gauss_newton import _gn_direction_pcg

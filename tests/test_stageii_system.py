@@ -19,6 +19,10 @@ from moshpp_tpu.pipeline.stageii import (StageIIOptions, make_stageii_residual,
                                          stageii_term_energies)
 from moshpp_tpu.priors import make_gmm_prior
 
+# solver-compile-heavy: excluded from the fast pre-commit gate
+# (pytest -m 'not slow'); the full suite remains the CI bar
+pytestmark = pytest.mark.slow
+
 
 def _setup(model_type="smplh", opts=None, seed=3, markers=10, **mk):
     rng = np.random.default_rng(seed)
