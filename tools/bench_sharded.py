@@ -42,7 +42,11 @@ obs = np.asarray(jax.jit(jax.vmap(lambda p, t: reconstruct_markers(
     lbs_forward(model, p, jnp.asarray(betas), t), idx, coeffs)))(
         jnp.asarray(poses), jnp.asarray(trans)))
 mask = np.ones((F, 20), bool)
-opts = StageIIOptions(maxiter=40, smoothing_sweeps=1, jac_backend="xla")
+# 'auto': Pallas kernels per shard on real TPU hardware; the XLA einsum
+# chain on this virtual CPU mesh (interpret-mode kernels would swamp the
+# timing — kernel-assembly correctness under shard_map is pinned by
+# tests/test_sharding.py::test_sharded_pallas_assembly_interpret)
+opts = StageIIOptions(maxiter=40, smoothing_sweeps=1, jac_backend="auto")
 prob = prepare_stageii_problem(model, betas, latents, opts=opts)
 
 out = []
