@@ -16,11 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from moshpp_tpu.models import make_synthetic_model
-from moshpp_tpu.ops.marker_transform import (marker_coeffs,
-                                             select_frame_indices)
 from moshpp_tpu.ops.surface import vertex_normals
 from moshpp_tpu.pipeline.stageii import (StageIIOptions, make_stageii_system,
-                                         prepare_stageii_problem, _num_extra)
+                                         prepare_stageii_problem)
 from moshpp_tpu.priors import make_gmm_prior
 
 

@@ -113,6 +113,7 @@ def main():
 
     if args.micro:
         from moshpp_tpu.pipeline.stageii import make_stageii_system
+        from moshpp_tpu.solver.pallas_pcg import dogleg_direction_batched
         system = make_stageii_system(prob, opts, prior, "smplh")
         D = 3 + prob.sub_model.pose_dof
         x = jnp.asarray(np.concatenate([trans, poses], 1))
@@ -123,21 +124,38 @@ def main():
                "extra_anchor": jnp.zeros((F, 0)), "extra_on": jnp.zeros((F,))}
         K = 10
 
-        @jax.jit
-        def iters(x):
-            def body(c, _):
-                f, g, B = jax.vmap(system.system_fn)(c, aux)
-                dinv = 1.0 / jnp.clip(jnp.diagonal(B, axis1=1, axis2=2), 1e-12)
-                p = -dinv * g
-                for _ in range(opts.cg_iters):
-                    p = p - dinv * (jnp.einsum("fab,fb->fa", B, p) + g) * 0.1
-                return c - 1e-6 * p, None
-            out, _ = jax.lax.scan(body, x, None, length=K)
-            return out
-        jax.block_until_ready(iters(x))
-        t0 = time.perf_counter()
-        jax.block_until_ready(iters(x))
-        print(f"fused system+iter micro: {(time.perf_counter()-t0)/K*1000:.2f} ms/iter")
+        def bench_fn(name, fn, inp):
+            # scan with the carry folded into the input: every iteration's
+            # body depends on the previous result, so XLA can neither hoist
+            # the (otherwise loop-invariant) computation nor elide it
+            @jax.jit
+            def run(c):
+                def body(s, _):
+                    out = fn(c + s)
+                    return jnp.sum(out) * 1e-30, None
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+                return s
+            jax.block_until_ready(run(inp))
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(inp))
+            print(f"{name}: {(time.perf_counter()-t0)/K*1000:.2f} ms/iter")
+
+        bench_fn("system assembly (xla per-frame vmap)",
+                 lambda c: jax.vmap(system.system_fn)(c, aux)[1], x)
+        if system.system_fn_batched is not None:
+            bench_fn("system assembly (pallas batched)",
+                     lambda c: system.system_fn_batched(c, aux)[1], x)
+
+        f0, g0, B0 = jax.jit(system.system_fn_batched or
+                             jax.vmap(system.system_fn))(x, aux)
+        pm = jnp.ones((F, D), jnp.float32)
+        delta = jnp.full((F,), 0.3, jnp.float32)
+        interp = jax.default_backend() != "tpu"
+        bench_fn(
+            f"fused dogleg direction ({opts.cg_iters} cg iters)",
+            lambda g: dogleg_direction_batched(
+                g, B0, jnp.zeros_like(g), pm, delta,
+                iters=opts.cg_iters, damping=1e-5, interpret=interp)[0], g0)
 
 
 if __name__ == "__main__":
