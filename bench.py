@@ -105,5 +105,32 @@ def main():
     }))
 
 
+def _main_with_retries():
+    """Re-exec the bench in a child process with retries.
+
+    The tunneled TPU backend occasionally fails at init or compile with a
+    transient UNAVAILABLE; a failed backend cannot be re-initialized
+    in-process, so retry in a fresh interpreter. The child's stdout (the one
+    JSON line) passes straight through."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("MOSHPP_BENCH_INNER"):
+        main()
+        return
+    rc = 1
+    for attempt in range(3):
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "MOSHPP_BENCH_INNER": "1"}).returncode
+        if rc == 0:
+            break
+        print(f"bench attempt {attempt + 1} failed (rc={rc}); retrying",
+              file=sys.stderr)
+        time.sleep(90)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retries()

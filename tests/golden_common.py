@@ -158,3 +158,65 @@ def golden_solve(family: str) -> dict:
         "markers_sim": np.asarray(res.markers_sim),
         "trans": np.asarray(res.trans),
     }
+
+
+def build_stagei_problem():
+    """Deterministic tiny stage-i problem (smplh: the flagship family)."""
+    from moshpp_tpu.pipeline.stagei import StageIOptions, prepare_stagei_context
+
+    rng = np.random.default_rng(77)
+    model = make_synthetic_model("smplh", num_verts=300, seed=17,
+                                 dof_per_hand=6)
+    M, F = 10, 3
+    betas_true = (rng.normal(size=16) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas_true)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], M, replace=False)
+    latents_true = can_v[vids] + vn[vids] * 0.0095
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents_true))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents_true), idx)
+    poses = (rng.normal(size=(F, model.pose_dof)) * 0.1).astype(np.float32)
+    trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
+
+    def sim(p, t):
+        return reconstruct_markers(
+            lbs_forward(model, p, jnp.asarray(betas_true), t), idx, coeffs)
+
+    obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans)))
+    prior = make_gmm_prior(dim=63, num_components=3, seed=23, scale=0.3)
+    opts = StageIOptions(maxiter=40, num_betas=16)
+    kwargs = dict(
+        frames_obs=obs, frames_mask=np.ones((F, M), bool),
+        layout_vids=vids, m2b=np.full(M, 0.0095, np.float32),
+        type_masks={"body": np.ones(M, bool)}, opts=opts, prior=prior)
+    ctx, state = prepare_stagei_context(model, **kwargs)
+    return dict(model=model, opts=opts, prior=prior, kwargs=kwargs,
+                ctx=ctx, state=state,
+                labels=[f"L{i}" for i in range(M)])
+
+
+def golden_stagei_probe() -> np.ndarray:
+    """Stage-i step-residual rows at the deterministic init state — pins the
+    annealed objective assembly (weights, anchors, surface term, prior)."""
+    from moshpp_tpu.pipeline.stagei import build_stagei_step
+
+    sp = build_stagei_problem()
+    betas, latents, poses, trans, _ = sp["state"]
+    residual, _ = build_stagei_step(sp["ctx"], betas, latents, anneal=1.0,
+                                    detailed=True)
+    x0 = sp["ctx"].lay.pack(betas, latents, poses, trans, None)
+    return np.asarray(residual(x0))
+
+
+def golden_stagei_solve() -> dict:
+    from moshpp_tpu.pipeline.stagei import mosh_stagei_solve
+
+    sp = build_stagei_problem()
+    res = mosh_stagei_solve(sp["model"], latent_labels=sp["labels"],
+                            **sp["kwargs"])
+    return {
+        "betas": np.asarray(res.betas),
+        "markers_latent": np.asarray(res.markers_latent),
+        "data_mean_m": np.float64(res.errs["data_mean_m"]),
+    }

@@ -13,7 +13,8 @@ import os
 import numpy as np
 import pytest
 
-from golden_common import FAMILIES, golden_probe, golden_solve
+from golden_common import (FAMILIES, golden_probe, golden_solve,
+                           golden_stagei_probe, golden_stagei_solve)
 
 _GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
@@ -35,6 +36,29 @@ def test_probe_residual_matches_golden(family):
     scale = np.abs(ref).max()
     np.testing.assert_allclose(r, ref, atol=2e-4 * max(scale, 1.0),
                                err_msg=f"{family}: assembly drifted")
+
+
+def test_stagei_probe_residual_matches_golden():
+    fname = os.path.join(_GOLDEN_DIR, "stagei_smplh.npz")
+    if not os.path.exists(fname):
+        pytest.fail(f"missing golden {fname}; run tools/make_goldens.py")
+    g = np.load(fname)
+    r = golden_stagei_probe()
+    ref = g["probe"]
+    assert r.shape == ref.shape, "stage-i residual layout changed"
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(r, ref, atol=2e-4 * max(scale, 1.0),
+                               err_msg="stage-i assembly drifted")
+
+
+@pytest.mark.slow
+def test_stagei_solve_outcome_matches_golden():
+    g = np.load(os.path.join(_GOLDEN_DIR, "stagei_smplh.npz"))
+    s = golden_stagei_solve()
+    d_mm = abs(s["data_mean_m"] - g["data_mean_m"]) * 1e3
+    assert d_mm < 0.1, f"stage-i mean data err moved {d_mm:.4f} mm"
+    d_lat = np.abs(s["markers_latent"] - g["markers_latent"]).max() * 1e3
+    assert d_lat < 0.5, f"stage-i latents moved {d_lat:.4f} mm"
 
 
 @pytest.mark.slow
