@@ -71,6 +71,10 @@ from moshpp_tpu.solver.gauss_newton import (DoglegOptions, GNSystem,
 
 NUM_TRAIN_MARKERS = 46.0  # weight-normalization constant (chmosh.py:460)
 
+# widest extra-dims (dmpl/expression) problem the fused kernels take; wider
+# configs (production smplx expressions = 80) use the XLA assembly
+MAX_KERNEL_EXTRAS = 16
+
 DEFAULT_STAGEII_WEIGHTS = {
     # smplh/smplx table, support_data/conf/moshpp_conf.yaml:118-125
     "data": 400.0, "velo": 2.5, "dmpl": 1.0, "expr": 1.0,
@@ -216,6 +220,13 @@ def prepare_stageii_problem(model: SurfaceModel,
             es = min(opts.expr_start,
                      sub_model.num_shape_dirs - opts.num_expressions)
             extra_cols = list(range(es, es + opts.num_expressions))
+        if extra_cols is not None and len(extra_cols) > MAX_KERNEL_EXTRAS:
+            # the kernels unroll the extras tangent FK and keep (3E, J, BF)
+            # stacks in VMEM; past ~16 dims that blows compile time and the
+            # VMEM budget (e.g. the production smplx num_expressions=80
+            # config). Leave extras out of the tables: make_stageii_system
+            # then sees n_extra != E and routes to the XLA assembly.
+            extra_cols = None
         tables = prepare_marker_jac_tables(
             sub_model, indices, coeffs, betas[:opts.num_betas],
             extra_cols=extra_cols)

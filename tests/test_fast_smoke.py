@@ -72,6 +72,18 @@ def test_marker_kernels_trace(extras):
     assert rw.shape == (F, M, 3) and jw.shape == (F, M, 3, D)
 
 
+def test_wide_extras_fall_back_to_xla():
+    """E beyond MAX_KERNEL_EXTRAS (production smplx expressions = 80) must
+    route to the XLA assembly instead of unrolling an untenable kernel."""
+    opts = StageIIOptions(jac_backend="pallas", optimize_face=True,
+                          num_expressions=20, expr_start=16)
+    model, prob, opts = _tiny(opts, num_shape_dirs=36)
+    assert prob.pallas_tables is not None
+    assert prob.pallas_tables.n_extra == 0      # extras left out of tables
+    system = make_stageii_system(prob, opts, None, "smplh")
+    assert system.system_fn_batched is None     # n_extra != E -> XLA path
+
+
 def test_stageii_batched_system_traces():
     """The fused batched GN assembly (kernel path) traces end to end."""
     model, prob, opts = _tiny()
