@@ -70,7 +70,8 @@ class DoglegOptions:
     cg_iters: int = 24         # PCG iteration count (static, done-masked)
     # 'auto': in the batched path on TPU the PCG direction runs as a Pallas
     # kernel (solver/pallas_pcg.py — B resident in VMEM, frames in lanes,
-    # ~6x the XLA batched-matvec chain); 'xla' forces the matvec chain.
+    # ~6x the XLA batched-matvec chain); 'xla' forces the matvec chain;
+    # 'pallas' forces the kernel (interpret mode off TPU — test-only).
     pcg_backend: str = "auto"
     # matmul precision for the Jacobian/normal-equation assembly. 'highest'
     # = full f32 (6-pass); 'high' (3-pass) halves Jacobian cost with ~1e-5
@@ -307,15 +308,18 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
     Pallas path — its frame axis lives in the lane dimension, so it must see
     the batch whole); the per-problem step/accept math is vmapped around it.
     """
-    if system.system_fn_batched is None:
+    pallas_pcg = (opts.linear_solver == "pcg"
+                  and (opts.pcg_backend == "pallas"
+                       or (opts.pcg_backend == "auto"
+                           and jax.default_backend() == "tpu")))
+    if system.system_fn_batched is None and not pallas_pcg:
         return jax.vmap(_body_one(system.system_fn, system.cost_fn,
                                   opts, e_3))
-    sys_b = system.system_fn_batched
+    # the fused direction kernel applies to ANY batched system — including a
+    # vmapped per-frame assembly (the XLA fallback for wide extras or
+    # jac_backend='xla'), which otherwise also loses the kernel PCG
+    sys_b = system.system_fn_batched or jax.vmap(system.system_fn)
     cost_b = system.cost_fn_batched or jax.vmap(system.cost_fn)
-
-    pallas_pcg = (opts.linear_solver == "pcg"
-                  and opts.pcg_backend == "auto"
-                  and jax.default_backend() == "tpu")
     if pallas_pcg:
         # Fused path: masking, damping, PCG, dogleg geometry and the
         # predicted reduction all run inside one Pallas program over the RAW
@@ -330,7 +334,8 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
             _, g, B = sys_b(s.x, aux)
             g = g * mask
             p, p_gn, pred = dogleg_direction_batched(
-                g, B, s.plin, mask, s.delta, opts.cg_iters, opts.damping)
+                g, B, s.plin, mask, s.delta, opts.cg_iters, opts.damping,
+                interpret=jax.default_backend() != "tpu")
             x_new = s.x + p
             f_new = cost_b(x_new, aux)
             g_norm = jnp.linalg.norm(g, axis=-1)

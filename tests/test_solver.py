@@ -301,3 +301,43 @@ class TestPallasPCG:
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(pred_k), np.asarray(pred_r),
                                    rtol=2e-3, atol=1e-6)
+
+    def test_fused_direction_over_vmapped_system(self, rng):
+        """pcg_backend='pallas' routes a system WITHOUT batched assembly fns
+        (the XLA fallback for wide extras / jac_backend='xla') through the
+        fused direction kernel; the solve must land where the plain vmapped
+        dogleg lands."""
+        from moshpp_tpu.solver.gauss_newton import (DoglegOptions, GNSystem,
+                                                    batched_system_solve)
+
+        N, D = 12, 9
+        A = rng.normal(size=(D, D)).astype(np.float32)
+        Q = jnp.asarray(A @ A.T + 2.0 * np.eye(D, dtype=np.float32))
+        t = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+        def system_fn(x, aux):
+            r = x - aux["t"]
+            return r @ Q @ r, 2.0 * (Q @ r), 2.0 * Q
+
+        def cost_fn(x, aux):
+            r = x - aux["t"]
+            return r @ Q @ r
+
+        sysm = GNSystem(system_fn, cost_fn, None, None)
+        x0 = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+        aux = {"t": t}
+        res_k = batched_system_solve(
+            sysm, x0, aux,
+            DoglegOptions(maxiter=60, e_3=1e-10, linear_solver="pcg",
+                          cg_iters=30, pcg_backend="pallas"),
+            compact_buckets=())
+        res_r = batched_system_solve(
+            sysm, x0, aux,
+            DoglegOptions(maxiter=60, e_3=1e-10, linear_solver="pcg",
+                          cg_iters=30, pcg_backend="xla"),
+            compact_buckets=())
+        # quadratic objective: both must reach the optimum t
+        np.testing.assert_allclose(np.asarray(res_k.x), np.asarray(t),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res_k.x), np.asarray(res_r.x),
+                                   atol=1e-3)
