@@ -41,6 +41,42 @@ class TestC3DCodec:
         valid = ~np.isnan(pts).any(-1)
         np.testing.assert_allclose(c3.points[valid], pts[valid], rtol=1e-5)
 
+    def test_property_roundtrip_fuzz(self, tmp_path):
+        """Property fuzz over shapes, magnitudes, NaN patterns, frame rates,
+        and label contents — the codec must survive anything a vendor file
+        can contain."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            nf=st.integers(1, 80),
+            npts=st.integers(1, 40),
+            scale=st.sampled_from([1.0, 25.4, 1000.0]),
+            rate=st.sampled_from([60.0, 100.0, 119.88, 240.0]),
+            nan_frac=st.floats(0.0, 0.5),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def run(nf, npts, scale, rate, nan_frac, seed):
+            rng = np.random.default_rng(seed)
+            pts = (rng.normal(size=(nf, npts, 3)) * scale).astype(np.float64)
+            drop = rng.uniform(size=(nf, npts)) < nan_frac
+            pts[drop] = np.nan
+            labels = [f"S1:{chr(65 + i % 26)}{i}" for i in range(npts)]
+            path = str(tmp_path / f"f{seed % 7}.c3d")
+            write_c3d(path, pts, labels, frame_rate=rate)
+            c3 = read_c3d(path)
+            assert c3.labels == labels
+            assert c3.num_frames == nf
+            assert abs(c3.frame_rate - rate) < 1e-3
+            got_nan = np.isnan(c3.points).any(-1)
+            np.testing.assert_array_equal(got_nan, drop)
+            valid = ~drop
+            if valid.any():
+                np.testing.assert_allclose(c3.points[valid], pts[valid],
+                                           rtol=1e-5, atol=1e-4 * scale)
+
+        run()
+
     def test_long_sequences_beyond_int16(self, tmp_path, rng):
         # >32767 frames must survive (POINT:FRAMES saturates; data len rules)
         F = 40000
