@@ -54,6 +54,15 @@ from moshpp_tpu.ops.marker_transform import MarkerFrameIndices
 _EPS = 1e-12          # matches ops/rodrigues._EPS and marker_transform._EPS
 BF = 128              # frame block = one full lane tile
 
+# A/B lever for the extras Jacobian: fuse the 3E per-(e, b) weighted (J, BF)
+# reductions into one (3E, J, BF) sublane reduce per vertex. Numerically
+# identical (same per-slice reduction order); perf effect on Mosaic is
+# motion-independent but unmeasured, so it ships default-off until a TPU
+# A/B proves it (STATUS.md "Gaps").
+import os as _os
+
+FUSED_EXTRA_REDUCE = _os.environ.get("MOSHPP_FUSED_EXTRA_REDUCE", "0") == "1"
+
 
 def _tree_level_masks(parents: Tuple[int, ...]) -> np.ndarray:
     """(L, J) 0/1 masks of joints at depth 1..L (root depth-0 excluded)."""
@@ -452,12 +461,21 @@ def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
 
         if n_extra:
             # d v/dx_e (1, BF) rows: skinned joint-shift + direct vertex dir
-            Je = [[jnp.sum(wcol * datrE_ref[e * 3 + b], axis=0,
-                           keepdims=True)
-                   + sum(Trot[b][c]
-                         * dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
-                         for c in range(3))
-                   for b in range(3)] for e in range(n_extra)]
+            if FUSED_EXTRA_REDUCE:
+                wdat = jnp.sum(wcol[None, :, :] * datrE_ref[:],
+                               axis=1)                         # (3E, BF)
+                Je = [[wdat[e * 3 + b:e * 3 + b + 1, :]
+                       + sum(Trot[b][c]
+                             * dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
+                             for c in range(3))
+                       for b in range(3)] for e in range(n_extra)]
+            else:
+                Je = [[jnp.sum(wcol * datrE_ref[e * 3 + b], axis=0,
+                               keepdims=True)
+                       + sum(Trot[b][c]
+                             * dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
+                             for c in range(3))
+                       for b in range(3)] for e in range(n_extra)]
             JpE.append(Je)
 
         v = [sum(Trot[b][c] * vp[c] for c in range(3)) + Ttr[b] + trans[b]

@@ -208,3 +208,45 @@ def test_extra_dims_match_jacfwd(rng, mode):
     jw_ref = np.asarray(jm_p) * np.asarray(wrow)[..., None, None]
     np.testing.assert_allclose(np.asarray(rw), rw_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(jw), jw_ref, atol=1e-5)
+
+
+def test_fused_extra_reduce_matches(rng):
+    """FUSED_EXTRA_REDUCE=1 (one (3E, J, BF) sublane reduce per vertex) is
+    numerically identical to the per-(e, b) reduction it replaces."""
+    from moshpp_tpu.models.body_model import lbs_forward  # noqa: F401
+    from moshpp_tpu.ops import pallas_marker_jac as pmj
+
+    E = 4
+    nb = 6
+    model = make_synthetic_model("smplh", num_verts=300, seed=4,
+                                 dof_per_hand=6, num_shape_dirs=16)
+    betas = (rng.normal(size=nb) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :nb], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], 7, replace=False)
+    latents = (can_v[vids] + vn[vids] * 0.0095).astype(np.float32)
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+    tables = pmj.prepare_marker_jac_tables(
+        model, idx, coeffs, jnp.asarray(betas),
+        extra_cols=list(range(nb, nb + E)))
+    P = model.pose_dof
+    F = 3
+    x = jnp.asarray(np.concatenate([
+        rng.normal(size=(F, 3 + P)).astype(np.float32) * 0.3,
+        rng.normal(size=(F, E)).astype(np.float32) * 0.5], axis=1))
+
+    saved = pmj.FUSED_EXTRA_REDUCE
+    try:
+        pmj.FUSED_EXTRA_REDUCE = False
+        sim0, jm0 = pmj.marker_sim_and_jacobian(model, tables, x,
+                                                interpret=True)
+        pmj.FUSED_EXTRA_REDUCE = True
+        sim1, jm1 = pmj.marker_sim_and_jacobian(model, tables, x,
+                                                interpret=True)
+    finally:
+        pmj.FUSED_EXTRA_REDUCE = saved
+    np.testing.assert_array_equal(np.asarray(sim0), np.asarray(sim1))
+    np.testing.assert_allclose(np.asarray(jm0), np.asarray(jm1),
+                               rtol=0, atol=1e-6)
