@@ -105,13 +105,35 @@ def main():
     }))
 
 
+def _backend_alive(timeout_s=90):
+    """Cheap probe: can a fresh interpreter see a device and run one op?
+
+    The tunneled TPU backend sometimes HANGS at init during outages (rather
+    than erroring), so the probe gets its own hard timeout — this keeps a
+    dead backend from eating a whole heavy-bench attempt."""
+    import os
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+            "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=os.environ,
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _main_with_retries():
     """Re-exec the bench in a child process with retries.
 
     The tunneled TPU backend occasionally fails at init or compile with a
-    transient UNAVAILABLE; a failed backend cannot be re-initialized
-    in-process, so retry in a fresh interpreter. The child's stdout (the one
-    JSON line) passes straight through."""
+    transient UNAVAILABLE (or hangs entirely during an outage); a failed
+    backend cannot be re-initialized in-process, so probe first, then run
+    in a fresh interpreter with a hard per-attempt timeout. The child's
+    stdout (the one JSON line) passes straight through."""
     import os
     import subprocess
     import sys
@@ -119,11 +141,25 @@ def _main_with_retries():
     if os.environ.get("MOSHPP_BENCH_INNER"):
         main()
         return
+
+    # wait (bounded) for the backend before burning heavy attempts
+    for probe in range(10):
+        if _backend_alive():
+            break
+        print(f"bench: backend probe {probe + 1}/10 failed; waiting 120s",
+              file=sys.stderr)
+        time.sleep(120)
+
     rc = 1
     for attempt in range(3):
-        rc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "MOSHPP_BENCH_INNER": "1"}).returncode
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "MOSHPP_BENCH_INNER": "1"},
+                timeout=int(os.environ.get("MOSHPP_BENCH_TIMEOUT", "2400")),
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = 124
         if rc == 0:
             break
         print(f"bench attempt {attempt + 1} failed (rc={rc}); retrying",
