@@ -68,6 +68,44 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_run_many(args) -> int:
+    import glob as _glob
+
+    from moshpp_tpu.pipeline.fleet import run_moshpp_fleet
+
+    fnames = []
+    for pat in args.mocaps:
+        hits = sorted(_glob.glob(pat, recursive=True))
+        fnames.extend(hits if hits else [pat])
+    base = {}
+    if args.work_dir:
+        base["dirs.work_base_dir"] = args.work_dir
+    if args.support_dir:
+        base["dirs.support_base_dir"] = args.support_dir
+    if args.model:
+        base["surface_model.fname"] = args.model
+    if args.model_type:
+        base["surface_model.type"] = args.model_type
+    if args.layout:
+        base["dirs.marker_layout.fname"] = args.layout
+    if args.stagei_only:
+        base["runtime.stagei_only"] = True
+    base.update(_parse_overrides(args.override))
+    jobs = [{**base, "mocap.fname": f} for f in fnames]
+
+    report = run_moshpp_fleet(jobs, processes=args.processes,
+                              only_stagei=args.stagei_only,
+                              determine_shape_for_each_seq=args.per_seq_shape,
+                              stop_on_error=args.stop_on_error)
+    for r in report.results:
+        line = f"{r.status:9s} {r.job.get('mocap.fname')}"
+        if r.status == "ok":
+            line += f"  ({r.elapsed_s:.1f}s)"
+        print(line)
+    print(report.summary())
+    return 1 if report.num_failed else 0
+
+
 def _cmd_export(args) -> int:
     from moshpp_tpu.io.amass import load_as_amass_npz, load_as_amass_npz_legacy
 
@@ -131,6 +169,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dotted config override (YAML-typed), e.g. "
                         "-o opt_settings.maxiter=50 -o mocap.ds_rate=2")
     r.set_defaults(fn=_cmd_run)
+
+    m = sub.add_parser("run-many", help="solve many sequences (job dedup + "
+                                        "idempotent caching; crash-safe rerun)")
+    m.add_argument("mocaps", nargs="+",
+                   help="mocap files and/or glob patterns")
+    m.add_argument("--work-dir", help="dirs.work_base_dir (outputs + cache)")
+    m.add_argument("--support-dir",
+                   help="dirs.support_base_dir (model files + priors)")
+    m.add_argument("--model", help="surface_model.fname override")
+    m.add_argument("--model-type",
+                   help="surface_model.type (smpl/smplh/smplx/mano/...)")
+    m.add_argument("--layout", help="marker layout JSON "
+                                    "(dirs.marker_layout.fname)")
+    m.add_argument("--stagei-only", action="store_true",
+                   help="run/keep only stage-i jobs")
+    m.add_argument("--processes", type=int, default=1,
+                   help="worker processes (keep 1 on TPU; >1 for CPU fleets)")
+    m.add_argument("--stop-on-error", action="store_true")
+    m.add_argument("--per-seq-shape", action="store_true",
+                   help="estimate shape per sequence instead of sharing "
+                        "stage-i per subject")
+    m.add_argument("-o", "--override", action="append", metavar="KEY=VALUE",
+                   help="dotted config override applied to every job")
+    m.set_defaults(fn=_cmd_run_many)
 
     e = sub.add_parser("export", help="stage-ii pickle -> AMASS npz")
     e.add_argument("stageii_pkl")

@@ -9,3 +9,8 @@ from moshpp_tpu.pipeline.stagei import (
     StageIResult,
     mosh_stagei_solve,
 )
+from moshpp_tpu.pipeline.fleet import (
+    FleetReport,
+    JobResult,
+    run_moshpp_fleet,
+)

@@ -20,6 +20,7 @@ def test_head_and_pipeline():
     _has("moshpp_tpu.pipeline.head", "MoSh", "run_moshpp_once")
     _has("moshpp_tpu.config", "prepare_cfg")
     _has("moshpp_tpu.pipeline.jobs", "universal_mosh_jobs_filter")
+    _has("moshpp_tpu.pipeline", "run_moshpp_fleet", "FleetReport")
     _has("moshpp_tpu.io.amass", "load_as_amass_npz", "load_as_amass_npz_legacy",
          "turn_fullpose_into_parts")
     from moshpp_tpu.pipeline.head import MoSh
