@@ -1,0 +1,149 @@
+"""End-to-end MoSh on a fully synthetic world — no licensed assets needed.
+
+Builds a scratch directory with a synthetic SMPL+H-shaped model, a GMM pose
+prior, a marker layout, and a C3D mocap sequence generated from known
+ground-truth motion; then runs the full pipeline (stage-i shape + latent
+markers, stage-ii per-frame pose) through the same `run_moshpp_once` entry
+a production run uses, and exports the AMASS npz. Recovered marker error on
+the synthetic world is sub-millimeter.
+
+Run:  python examples/synthetic_end_to_end.py [workdir]
+      (defaults to ./moshpp_tpu_example; ~1-2 min on CPU the first time,
+       cached thereafter — delete the workdir to re-solve)
+
+With real SMPL-family model files, skip the synthesis: point
+`dirs.support_base_dir` at your model/prior directory and `mocap.fname` at a
+real labeled C3D — the config schema and outputs are drop-in compatible with
+the reference (`nghorbani/moshpp`).
+"""
+
+import json
+import os
+import sys
+
+# allow running straight from a source checkout
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+# Default to CPU — probing for an accelerator would *initialize* the backend,
+# and a hung TPU tunnel then hangs the example. Set MOSHPP_EXAMPLE_DEVICE=tpu
+# to run on an attached TPU instead.
+if os.environ.get("MOSHPP_EXAMPLE_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache")
+
+import jax.numpy as jnp
+
+from moshpp_tpu.io.mocap import write_mocap_c3d
+from moshpp_tpu.models import lbs_forward, make_synthetic_model
+from moshpp_tpu.models.synthetic import save_synthetic_npz
+from moshpp_tpu.ops.marker_transform import (marker_coeffs,
+                                             reconstruct_markers,
+                                             select_frame_indices)
+from moshpp_tpu.ops.surface import vertex_normals
+from moshpp_tpu.pipeline.head import MoSh, run_moshpp_once
+from moshpp_tpu.priors.gmm import save_gmm_prior_pkl
+
+
+def build_world(root: str, num_markers: int = 20, num_frames: int = 40):
+    """Synthetic support dir + one mocap session with known ground truth."""
+    for d in ("support/smplh", "mocap/ExampleDS/Subject1", "work"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    rng = np.random.default_rng(11)
+
+    model = make_synthetic_model("smplh", num_verts=500, dof_per_hand=6,
+                                 seed=5)
+    save_synthetic_npz(model, f"{root}/support/smplh/model.npz")
+
+    D = 63  # body pose dof
+    means = rng.normal(size=(4, D)) * 0.05
+    covars = np.stack([0.09 * np.eye(D) for _ in range(4)])
+    save_gmm_prior_pkl({"means": means, "covars": covars,
+                        "weights": np.ones(4) / 4},
+                       f"{root}/support/smplh/pose_body_prior.pkl")
+
+    # ground-truth subject: shape + marker placements on the skin
+    V = model.v_template.shape[0]
+    vids = rng.choice(V, num_markers, replace=False)
+    betas = (rng.normal(size=16) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :16], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    latents = can_v[vids] + vn[vids] * 0.0095
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+
+    # smooth ground-truth motion -> simulated markers -> C3D
+    P = model.pose_dof
+    poses = np.zeros((num_frames, P), np.float32)
+    poses[0] = rng.normal(size=P) * 0.12
+    for t in range(1, num_frames):
+        poses[t] = (0.96 * poses[t - 1]
+                    + rng.normal(size=P).astype(np.float32) * 0.02)
+    trans = np.cumsum(rng.normal(size=(num_frames, 3)) * 0.004,
+                      0).astype(np.float32)
+
+    def sim(p, t):
+        verts = lbs_forward(model, p, jnp.asarray(betas), t)
+        return reconstruct_markers(verts, idx, coeffs)
+
+    obs = np.asarray(jax.jit(jax.vmap(sim))(jnp.asarray(poses),
+                                            jnp.asarray(trans)))
+    labels = [f"M{i:02d}" for i in range(num_markers)]
+    write_mocap_c3d(obs, labels, f"{root}/mocap/ExampleDS/Subject1/seq.c3d",
+                    frame_rate=60.0)
+    with open(f"{root}/mocap/ExampleDS/Subject1/settings.json", "w") as f:
+        json.dump({"gender": "neutral"}, f)
+
+    # marker layout with the true vids (synthetic vids aren't in the real
+    # marker database, so label-based autogen can't apply here)
+    layout = {"surface_model_type": "smplh",
+              "markersets": [{"type": "body", "distance_from_skin": 0.0095,
+                              "indices": {l: int(v)
+                                          for l, v in zip(labels, vids)}}]}
+    with open(f"{root}/support/smplh/layout.json", "w") as f:
+        json.dump(layout, f)
+    return poses, trans
+
+
+def main():
+    root = os.path.abspath(sys.argv[1] if len(sys.argv) > 1
+                           else "moshpp_tpu_example")
+    print(f"world: {root}")
+    build_world(root)
+
+    mp = run_moshpp_once({
+        "mocap.fname": f"{root}/mocap/ExampleDS/Subject1/seq.c3d",
+        "dirs.work_base_dir": f"{root}/work",
+        "dirs.support_base_dir": f"{root}/support",
+        "dirs.marker_layout.fname": f"{root}/support/smplh/layout.json",
+        "surface_model.fname": f"{root}/support/smplh/model.npz",
+        "surface_model.type": "smplh",
+        "moshpp.pose_hand_prior_fname": None,   # synthetic world has none
+        "opt_settings.maxiter": 40,
+    })
+
+    errs = mp.stageii_data["stageii_debug_details"]["stageii_errs"]
+    err_mm = 1000.0 * float(np.mean(errs["data_mean_m"]))
+    fullpose = np.asarray(mp.stageii_data["fullpose"])
+    print(f"stage-ii: {fullpose.shape[0]} frames solved, "
+          f"mean marker error {err_mm:.3f} mm")
+
+    npz_fname = f"{root}/work/seq_stageii.npz"
+    out = MoSh.load_as_amass_npz(mp.stageii_fname,
+                                 stageii_npz_fname=npz_fname)
+    print(f"AMASS npz: {npz_fname}")
+    print(f"  keys: {', '.join(sorted(out))}")
+
+    # NOTE: recovered trans/betas are not directly comparable to the ground
+    # truth — stage-i estimates its own shape + latent placements, and a
+    # shape offset is legitimately absorbed by latents (same as the
+    # reference). Marker reconstruction error is the accuracy metric.
+    assert err_mm < 2.0, "synthetic recovery should be ~sub-millimeter"
+
+
+if __name__ == "__main__":
+    main()
