@@ -119,6 +119,31 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _cmd_layout(args) -> int:
+    from moshpp_tpu.pipeline.head import MoSh
+
+    MoSh.dump_stagei_marker_layout(
+        args.stagei_pkl, out_marker_layout_fname=args.output,
+        template_marker_layout_fname=args.template)
+    out = args.output or str(args.stagei_pkl).replace(".pkl", ".json")
+    print(f"layout: {out}")
+    return 0
+
+
+def _cmd_view(args) -> int:
+    from moshpp_tpu.io.mocap import MocapSession
+    from moshpp_tpu.tools.visualization import play_mocap_trajectories
+
+    sess = MocapSession(args.mocap, mocap_unit=args.unit)
+    out = args.output or (str(args.mocap).rsplit(".", 1)[0] + ".html")
+    play_mocap_trajectories(np.asarray(sess.markers), out,
+                            labels=list(sess.labels),
+                            frame_rate=sess.frame_rate,
+                            title=str(args.mocap))
+    print(f"player: {out}")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from moshpp_tpu.io.mocap import MocapSession
 
@@ -203,6 +228,24 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--legacy", action="store_true",
                    help="read a legacy (pre-2021 schema) stage-ii pickle")
     e.set_defaults(fn=_cmd_export)
+
+    l = sub.add_parser("layout", help="dump the optimized marker layout "
+                                      "from a stage-i pickle (JSON + PLY/C3D "
+                                      "inspection artifacts)")
+    l.add_argument("stagei_pkl")
+    l.add_argument("-O", "--output", help="output layout JSON path "
+                                          "(default: alongside the pkl)")
+    l.add_argument("--template", help="template layout JSON whose marker "
+                                      "types/colors to keep")
+    l.set_defaults(fn=_cmd_layout)
+
+    v = sub.add_parser("view", help="write a self-contained interactive "
+                                    "HTML player for a mocap file")
+    v.add_argument("mocap")
+    v.add_argument("-O", "--output", help="output .html (default: next to "
+                                          "the mocap)")
+    v.add_argument("--unit", default="mm", help="mocap unit (mm/cm/m)")
+    v.set_defaults(fn=_cmd_view)
 
     i = sub.add_parser("info", help="print mocap metadata as JSON")
     i.add_argument("mocap")

@@ -136,3 +136,46 @@ def test_module_entrypoint_help():
                        timeout=120)
     assert r.returncode == 0
     assert "run" in r.stdout and "export" in r.stdout and "info" in r.stdout
+
+
+def test_view_subcommand(tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    markers = rng.normal(size=(12, 4, 3)).astype(np.float32) * 0.3
+    fname = str(tmp_path / "clip.c3d")
+    write_mocap_c3d(markers, ["A", "B", "C", "D"], fname, frame_rate=120)
+    out = str(tmp_path / "clip.html")
+    rc = cli.main(["view", fname, "-O", out])
+    assert rc == 0
+    html = open(out).read()
+    assert "<canvas" in html and '"labels"' in html
+
+
+def test_layout_subcommand(tmp_path, capsys):
+    """layout dumps the optimized stage-i layout JSON; the PLY/C3D
+    inspection artifacts need the model file, exercised in test_head."""
+    rng = np.random.default_rng(6)
+    M = 5
+    stagei = {
+        "markers_latent": rng.normal(size=(M, 3)).astype(np.float32),
+        "latent_labels": [f"MK{i}" for i in range(M)],
+        "markers_latent_vids": np.arange(M),
+        "betas": rng.normal(size=16).astype(np.float32),
+        "marker_meta": {
+            "marker_vids": {f"MK{i}": i for i in range(M)},
+            "marker_type_mask": {"body": np.ones(M, bool)},
+            "m2b_distance": {"body": 0.0095},
+            "surface_model_type": "smplh",
+        },
+        "stagei_debug_details": {
+            "cfg": {"surface_model": {"fname": "/nonexistent/model.npz",
+                                      "type": "smplh", "num_betas": 16}},
+        },
+    }
+    pkl = str(tmp_path / "subj_stagei.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(stagei, f)
+    out = str(tmp_path / "layout.json")
+    rc = cli.main(["layout", pkl, "-O", out])
+    assert rc == 0
+    meta = json.load(open(out))
+    assert "markersets" in meta or "marker_vids" in str(meta)
