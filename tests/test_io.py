@@ -194,3 +194,92 @@ class TestPly:
                      "end_header\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
         v, f = read_ply(path)
         assert v.shape == (3, 3) and f.shape == (1, 3)
+
+
+class TestMocapReaderFuzz:
+    """Property fuzz over the non-C3D mocap formats (.npz/.pkl/.mat) and the
+    MocapSession semantics layered on top (units, Subject:Label masks,
+    NaN->0, label padding). read_mocap must return identical semantics for
+    the same logical content regardless of container."""
+
+    def test_property_formats_agree(self, tmp_path):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            nf=st.integers(1, 40),
+            npts=st.integers(1, 20),
+            nan_frac=st.floats(0.0, 0.5),
+            rate=st.sampled_from([60.0, 120.0, 250.0]),
+            multi_subject=st.booleans(),
+            short_labels=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def run(nf, npts, nan_frac, rate, multi_subject, short_labels, seed):
+            import pickle
+            import scipy.io
+
+            rng = np.random.default_rng(seed)
+            pts = (rng.normal(size=(nf, npts, 3)) * 500.0).astype(np.float64)
+            pts[rng.uniform(size=(nf, npts)) < nan_frac] = np.nan
+            if multi_subject:
+                labels = [f"S{i % 2}:M{i}" for i in range(npts)]
+            else:
+                labels = [f"M{i}" for i in range(npts)]
+            # vendor files sometimes carry fewer labels than points
+            stored_labels = labels[:-1] if (short_labels and npts > 1) else labels
+
+            d = tmp_path / f"fuzz{seed % 5}"
+            d.mkdir(exist_ok=True)
+            npz = str(d / "m.npz")
+            np.savez(npz, markers=pts, labels=stored_labels, frame_rate=rate)
+            pkl = str(d / "m.pkl")
+            with open(pkl, "wb") as f:
+                pickle.dump({"markers": pts, "labels": stored_labels,
+                             "frame_rate": rate}, f)
+            mat = str(d / "m.mat")
+            scipy.io.savemat(mat, {"Markers": pts,
+                                   "Labels": np.array([stored_labels],
+                                                      dtype=object)}
+                             if stored_labels else {"Markers": pts})
+
+            ref = read_mocap(npz)
+            assert ref["markers"].shape == (nf, npts, 3)
+            assert len(ref["labels"]) == npts          # padded with *N
+            if short_labels and npts > 1:
+                assert ref["labels"][-1].startswith("*")
+            if multi_subject and npts > 1:
+                assert set(ref["subject_mask"]) >= {"S0"}
+                # subject masks partition the markers
+                total = np.zeros(npts, bool)
+                for m in ref["subject_mask"].values():
+                    assert not (total & m).any()
+                    total |= m
+                assert total.all()
+
+            for other in (pkl, mat):
+                got = read_mocap(other)
+                np.testing.assert_allclose(
+                    np.nan_to_num(got["markers"]),
+                    np.nan_to_num(ref["markers"]), rtol=1e-6, atol=1e-9)
+                np.testing.assert_array_equal(
+                    np.isnan(got["markers"]), np.isnan(ref["markers"]))
+                assert got["labels"] == ref["labels"]
+
+            # session semantics: star-label filter + mm scaling + NaN->0
+            s = MocapSession(npz, mocap_unit="mm")
+            keep = [i for i, l in enumerate(ref["labels"])
+                    if not l.startswith("*")]
+            # session strips Subject: prefixes (colon-split semantics)
+            assert s.labels == [ref["labels"][i].split(":")[-1]
+                                for i in keep]
+            kept = ref["markers"][:, keep]
+            assert np.isfinite(s.markers).all()
+            avail = s.availability_mask()
+            np.testing.assert_array_equal(
+                avail, ~np.isnan(kept).any(-1) & ~(kept == 0).all(-1))
+            if avail.any():
+                np.testing.assert_allclose(
+                    s.markers[avail], kept[avail] / 1000.0, rtol=1e-6)
+
+        run()
