@@ -358,6 +358,8 @@ class MoSh:
             expr_start=cfg.get("surface_model.betas_expr_start_id", 300),
             maxiter=cfg["opt_settings.maxiter"],
             smoothing_sweeps=cfg.get("opt_settings.smoothing_sweeps", 2),
+            chunk_frames=cfg.get("opt_settings.chunk_frames", 16384),
+            chunk_halo=cfg.get("opt_settings.chunk_halo", 32),
             weights=_stageii_weights(cfg),
         )
         betas = self.stagei_data["betas"]

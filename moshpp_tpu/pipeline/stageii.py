@@ -128,6 +128,13 @@ class StageIIOptions:
     # fold the per-frame data weights + residual into the marker kernel
     # (skips the (F, M, 3, D) weighting pass over the Jacobian)
     fold_weights: bool = False
+    # long sequences solve in overlapping chunks of this many frames (0 =
+    # one batched solve regardless of length). Keeps HBM bounded (~200 KB of
+    # J/B/compaction buffers per frame) and keeps ONE compiled shape: every
+    # chunk is edge-padded to chunk_frames + 2*chunk_halo. The halo gives
+    # seam frames full velocity-sweep context on both sides.
+    chunk_frames: int = 16384
+    chunk_halo: int = 32
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -887,6 +894,64 @@ class StageIIReport(NamedTuple):
         return "\n".join(rows)
 
 
+def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
+                   jit_solve, return_report, on_phase, mesh):
+    """Overlapping-chunk drive of mosh_stageii_solve for long sequences.
+
+    Each chunk covers [s - halo, s + C + halo) and is edge-padded to the
+    fixed size C + 2*halo, so every chunk reuses one compiled program; only
+    the interior [s, s + C) of each solve is kept. Seam frames therefore
+    have >= halo frames of velocity-sweep context on both sides — chunk
+    results agree at the seams up to solver noise (pinned in
+    tests/test_stageii_system.py)."""
+    F = markers_obs.shape[0]
+    C, H = int(opts.chunk_frames), int(opts.chunk_halo)
+    inner_opts = dataclasses.replace(opts, chunk_frames=0)
+    markers_obs = np.asarray(markers_obs, np.float32)
+    mask = np.asarray(mask, bool)
+
+    pieces, reps, kept_sizes = [], [], []
+    for s in range(0, F, C):
+        lo, hi = max(0, s - H), min(F, s + C + H)
+        obs_c, msk_c = markers_obs[lo:hi], mask[lo:hi]
+        pad = (C + 2 * H) - (hi - lo)
+        if pad:
+            # tail-pad by edge-replicating the window's last real frame:
+            # padded frames solve to that boundary pose, so the velocity
+            # term sees a stationary tail, and (except at the sequence end,
+            # where that is the true semantics) the pad sits >= halo frames
+            # away from anything kept
+            obs_c = np.concatenate([obs_c, obs_c[-1:].repeat(pad, 0)], axis=0)
+            msk_c = np.concatenate([msk_c, msk_c[-1:].repeat(pad, 0)], axis=0)
+        out = mosh_stageii_solve(prob, inner_opts, obs_c, msk_c, prior=prior,
+                                 model_type=model_type, jit_solve=jit_solve,
+                                 return_report=return_report,
+                                 on_phase=on_phase, mesh=mesh)
+        res, rep = out if return_report else (out, None)
+        n_keep = min(C, F - s)
+        take = slice(s - lo, s - lo + n_keep)
+        pieces.append(StageIIResult(*[np.asarray(f)[take] for f in res]))
+        if rep is not None:
+            reps.append(rep)
+            kept_sizes.append(n_keep)
+
+    result = StageIIResult(*[np.concatenate([getattr(p, f) for p in pieces])
+                             for f in StageIIResult._fields])
+    if not return_report:
+        return result
+    w = np.asarray(kept_sizes, np.float64)[:, None, None] / F
+    eb = np.asarray([r.energies_before for r in reps])
+    ea = np.asarray([r.energies_after for r in reps])
+    it = np.asarray([r.iterations for r in reps])
+    report = StageIIReport(
+        phase_names=reps[0].phase_names, term_names=reps[0].term_names,
+        energies_before=np.sum(eb * w, axis=0),
+        energies_after=np.sum(ea * w, axis=0),
+        iterations=np.sum(it * w[..., 0], axis=0),
+    )
+    return result, report
+
+
 def mosh_stageii_solve(prob: StageIIProblem,
                        opts: StageIIOptions,
                        markers_obs: np.ndarray,
@@ -915,6 +980,12 @@ def mosh_stageii_solve(prob: StageIIProblem,
     Returns a StageIIResult, or (StageIIResult, StageIIReport) when
     `return_report=True`.
     """
+    if opts.chunk_frames and markers_obs.shape[0] > opts.chunk_frames:
+        return _solve_chunked(prob, opts, markers_obs, mask, prior=prior,
+                              model_type=model_type, jit_solve=jit_solve,
+                              return_report=return_report,
+                              on_phase=on_phase, mesh=mesh)
+
     model = prob.sub_model
     model_type = model_type or model.model_type
     markers_obs = jnp.asarray(markers_obs, jnp.float32)

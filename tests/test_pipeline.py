@@ -12,7 +12,8 @@ from moshpp_tpu.models import make_synthetic_model, lbs_forward
 from moshpp_tpu.ops.marker_transform import (marker_coeffs, reconstruct_markers,
                                              select_frame_indices)
 from moshpp_tpu.ops.surface import vertex_normals
-from moshpp_tpu.pipeline.stageii import (StageIIOptions, mosh_stageii_solve,
+from moshpp_tpu.pipeline.stageii import (StageIIOptions, StageIIResult,
+                                         mosh_stageii_solve,
                                          prepare_stageii_problem)
 from moshpp_tpu.pipeline.stagei import StageIOptions, mosh_stagei_solve
 from moshpp_tpu.priors import make_gmm_prior
@@ -170,3 +171,53 @@ class TestStageI:
         lat_err = np.linalg.norm(res.markers_latent - truth["latents"], axis=1)
         assert np.median(lat_err) < 0.10
         assert set(res.markers_latent_vids.keys()) == set(labels)
+
+
+class TestChunkedSolve:
+    def test_chunked_matches_unchunked(self, model, prior, rng):
+        """Long sequences solve in overlapping chunks; the halo must make
+        seam frames agree with the single-batch solve up to solver noise."""
+        from moshpp_tpu.pipeline.stageii import _solve_chunked  # noqa: F401
+
+        F, M = 48, 16
+        truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng)
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        mask = np.ones((F, M), bool)
+        base = dict(maxiter=60, smoothing_sweeps=1, anchor_stride=4)
+
+        res_full = mosh_stageii_solve(
+            prob, StageIIOptions(**base, chunk_frames=0),
+            truth["obs"], mask, prior=prior)
+        res_chunk = mosh_stageii_solve(
+            prob, StageIIOptions(**base, chunk_frames=16, chunk_halo=8),
+            truth["obs"], mask, prior=prior)
+
+        for f in StageIIResult._fields:
+            assert np.asarray(getattr(res_chunk, f)).shape == \
+                np.asarray(getattr(res_full, f)).shape, f
+
+        err_full = np.asarray(res_full.data_err) * 1000.0
+        err_chunk = np.asarray(res_chunk.data_err) * 1000.0
+        # same convergence quality as the single-batch solve (absolute error
+        # is seed-dependent; equivalence is the contract here)
+        assert abs(err_chunk.mean() - err_full.mean()) < 0.05
+        # marker trajectories agree across every seam (mm-level: different
+        # batch shapes change reduction order + compaction grouping)
+        dev_mm = 1000.0 * np.abs(
+            np.asarray(res_chunk.markers_sim) - np.asarray(res_full.markers_sim))
+        assert dev_mm.max() < 1.0, f"max seam deviation {dev_mm.max():.3f} mm"
+
+    def test_chunked_report_merging(self, model, prior, rng):
+        F, M = 24, 12
+        truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng)
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        mask = np.ones((F, M), bool)
+        res, report = mosh_stageii_solve(
+            prob, StageIIOptions(maxiter=30, smoothing_sweeps=1,
+                                 anchor_stride=4, chunk_frames=12,
+                                 chunk_halo=4),
+            truth["obs"], mask, prior=prior, return_report=True)
+        assert np.asarray(res.trans).shape == (F, 3)
+        assert np.isfinite(report.energies_after).all()
+        assert report.iterations.shape == (len(report.phase_names),)
+        assert "polish" in report.format_table()
