@@ -110,7 +110,9 @@ def _backend_alive(timeout_s=90):
 
     The tunneled TPU backend sometimes HANGS at init during outages (rather
     than erroring), so the probe gets its own hard timeout — this keeps a
-    dead backend from eating a whole heavy-bench attempt."""
+    dead backend from eating a whole heavy-bench attempt. A silent fallback
+    to CPU counts as DEAD (the metric is frames/sec/*chip*) unless the run
+    explicitly targets CPU via JAX_PLATFORMS/MOSHPP_BENCH_ALLOW_CPU."""
     import os
     import subprocess
     import sys
@@ -121,9 +123,14 @@ def _backend_alive(timeout_s=90):
     try:
         r = subprocess.run([sys.executable, "-c", code], env=os.environ,
                            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+    if r.returncode != 0:
+        return False
+    platform = r.stdout.decode().strip().splitlines()[-1] if r.stdout else ""
+    cpu_ok = (os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+              or os.environ.get("MOSHPP_BENCH_ALLOW_CPU"))
+    return platform != "cpu" or cpu_ok
 
 
 def _main_with_retries():
@@ -146,8 +153,13 @@ def _main_with_retries():
     for probe in range(10):
         if _backend_alive():
             break
-        print(f"bench: backend probe {probe + 1}/10 failed; waiting 120s",
+        print(f"bench: backend probe {probe + 1}/10 failed",
               file=sys.stderr)
+        if probe == 9:
+            print("bench: backend unavailable after ~35 min of probing; "
+                  "giving up (a heavy attempt would also fail)",
+                  file=sys.stderr)
+            sys.exit(69)      # EX_UNAVAILABLE
         time.sleep(120)
 
     rc = 1

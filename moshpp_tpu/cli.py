@@ -35,11 +35,9 @@ def _parse_overrides(pairs):
     return out
 
 
-def _cmd_run(args) -> int:
-    from moshpp_tpu.pipeline.head import run_moshpp_once
-    from moshpp_tpu.io.amass import load_as_amass_npz
-
-    cfg = {"mocap.fname": args.mocap}
+def _common_cfg(args) -> dict:
+    """Shared run/run-many flag -> dotted-config-key mapping."""
+    cfg = {}
     if args.work_dir:
         cfg["dirs.work_base_dir"] = args.work_dir
     if args.support_dir:
@@ -53,6 +51,14 @@ def _cmd_run(args) -> int:
     if args.stagei_only:
         cfg["runtime.stagei_only"] = True
     cfg.update(_parse_overrides(args.override))
+    return cfg
+
+
+def _cmd_run(args) -> int:
+    from moshpp_tpu.pipeline.head import run_moshpp_once
+    from moshpp_tpu.io.amass import load_as_amass_npz
+
+    cfg = {"mocap.fname": args.mocap, **_common_cfg(args)}
 
     mp = run_moshpp_once(cfg)
     print(f"stagei:  {mp.stagei_fname}")
@@ -70,27 +76,22 @@ def _cmd_run(args) -> int:
 
 def _cmd_run_many(args) -> int:
     import glob as _glob
+    import os
 
     from moshpp_tpu.pipeline.fleet import run_moshpp_fleet
 
     fnames = []
     for pat in args.mocaps:
-        hits = sorted(_glob.glob(pat, recursive=True))
-        fnames.extend(hits if hits else [pat])
-    base = {}
-    if args.work_dir:
-        base["dirs.work_base_dir"] = args.work_dir
-    if args.support_dir:
-        base["dirs.support_base_dir"] = args.support_dir
-    if args.model:
-        base["surface_model.fname"] = args.model
-    if args.model_type:
-        base["surface_model.type"] = args.model_type
-    if args.layout:
-        base["dirs.marker_layout.fname"] = args.layout
-    if args.stagei_only:
-        base["runtime.stagei_only"] = True
-    base.update(_parse_overrides(args.override))
+        if any(c in pat for c in "*?["):
+            hits = sorted(_glob.glob(pat, recursive=True))
+            if not hits:
+                raise SystemExit(f"no files match pattern: {pat!r}")
+            fnames.extend(hits)
+        else:
+            if not os.path.exists(pat):
+                raise SystemExit(f"mocap file not found: {pat!r}")
+            fnames.append(pat)
+    base = _common_cfg(args)
     jobs = [{**base, "mocap.fname": f} for f in fnames]
 
     report = run_moshpp_fleet(jobs, processes=args.processes,
@@ -134,8 +135,10 @@ def _cmd_view(args) -> int:
     from moshpp_tpu.io.mocap import MocapSession
     from moshpp_tpu.tools.visualization import play_mocap_trajectories
 
+    import os
+
     sess = MocapSession(args.mocap, mocap_unit=args.unit)
-    out = args.output or (str(args.mocap).rsplit(".", 1)[0] + ".html")
+    out = args.output or (os.path.splitext(str(args.mocap))[0] + ".html")
     play_mocap_trajectories(np.asarray(sess.markers), out,
                             labels=list(sess.labels),
                             frame_rate=sess.frame_rate,
@@ -183,7 +186,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--model-type",
                    help="surface_model.type (smpl/smplh/smplx/mano/...)")
     r.add_argument("--layout", help="marker layout JSON "
-                                    "(dirs.marker_layout_fname)")
+                                    "(dirs.marker_layout.fname)")
     r.add_argument("--stagei-only", action="store_true",
                    help="stop after shape/latent-marker estimation")
     r.add_argument("--npz", help="also export the stage-ii result as an "

@@ -903,7 +903,12 @@ def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
     the interior [s, s + C) of each solve is kept. Seam frames therefore
     have >= halo frames of velocity-sweep context on both sides — chunk
     results agree at the seams up to solver noise (pinned in
-    tests/test_stageii_system.py)."""
+    tests/test_pipeline.py::TestChunkedSolve).
+
+    Telemetry note: per-phase report energies are means over each chunk's
+    padded window, merged weighted by kept-interior size — an approximation
+    of the single-batch report (halo frames are counted in two windows, pad
+    frames mimic the boundary frame)."""
     F = markers_obs.shape[0]
     C, H = int(opts.chunk_frames), int(opts.chunk_halo)
     inner_opts = dataclasses.replace(opts, chunk_frames=0)

@@ -52,10 +52,11 @@ def test_fleet_runs_and_isolates_failures(tmp_path, monkeypatch):
 
     jobs = [{**_base(tmp_path), "mocap.fname": f} for f in fnames]
     rep = fleet.run_moshpp_fleet(jobs)
-    # dedup: all 3 share a subject key -> one job claims the shared stage-i
-    assert len(calls) == 1
-    assert rep.num_ok + rep.num_failed == 1
-    assert rep.num_filtered == 2
+    # dedup: all 3 share a subject key -> pass 1 runs only the stage-i
+    # claimant; the deferred siblings run on later passes (the stub writes
+    # no stage files, so every job eventually gets attempted)
+    assert len(calls) == 3
+    assert rep.num_ok == 2 and rep.num_failed == 1
 
     jobs = [{**_base(tmp_path), "mocap.fname": f,
              "moshpp.perseq_mosh_stagei": True} for f in fnames]
@@ -81,6 +82,8 @@ def test_fleet_stop_on_error(tmp_path, monkeypatch):
              "moshpp.perseq_mosh_stagei": True} for f in fnames]
     rep = fleet.run_moshpp_fleet(jobs, stop_on_error=True)
     assert rep.num_failed == 1      # stopped after the first failure
+    assert rep.num_pending == 2     # unattempted jobs stay visible
+    assert "not attempted" in rep.summary()
 
 
 def test_fleet_skips_completed(tmp_path, monkeypatch):
@@ -133,3 +136,37 @@ def test_cli_run_many(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "3 ok, 0 failed" in out
+
+
+def test_fleet_multipass_unblocks_deferred_siblings(tmp_path, monkeypatch):
+    """The realistic cache path: pass 1 runs only the stage-i claimant
+    (which writes the shared stage-i + its stage-ii); the re-filter then
+    releases the deferred siblings, which reuse the cached stage-i."""
+    import os
+    from moshpp_tpu.config.config import prepare_cfg
+
+    fnames = _world(tmp_path)
+    calls = []
+
+    class _FakeMoSh:
+        stageii_fname = None
+
+    def fake_run(cfg_dict):
+        calls.append(cfg_dict["mocap.fname"])
+        cfg = prepare_cfg(**cfg_dict)
+        for k in ("dirs.stagei_fname", "dirs.stageii_fname"):
+            os.makedirs(os.path.dirname(cfg[k]), exist_ok=True)
+            open(cfg[k], "wb").close()
+        return _FakeMoSh()
+
+    import moshpp_tpu.pipeline.head as head
+    monkeypatch.setattr(head, "run_moshpp_once", fake_run)
+    jobs = [{**_base(tmp_path), "mocap.fname": f} for f in fnames]
+    rep = fleet.run_moshpp_fleet(jobs)
+    assert len(calls) == 3          # every sequence actually solved
+    assert rep.num_ok == 3 and rep.num_failed == 0
+    # rerun: everything cached -> all filtered, nothing run
+    calls.clear()
+    rep2 = fleet.run_moshpp_fleet(jobs)
+    assert calls == []
+    assert rep2.num_filtered == 3
