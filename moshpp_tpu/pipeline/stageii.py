@@ -915,11 +915,16 @@ def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
     markers_obs = np.asarray(markers_obs, np.float32)
     mask = np.asarray(mask, bool)
 
+    W = C + 2 * H                              # fixed compile shape
+    if mesh is not None:                       # shard_map needs W % n_dev == 0
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        W = -(-W // n_dev) * n_dev
+
     pieces, reps, kept_sizes = [], [], []
     for s in range(0, F, C):
         lo, hi = max(0, s - H), min(F, s + C + H)
         obs_c, msk_c = markers_obs[lo:hi], mask[lo:hi]
-        pad = (C + 2 * H) - (hi - lo)
+        pad = W - (hi - lo)
         if pad:
             # tail-pad by edge-replicating the window's last real frame:
             # padded frames solve to that boundary pose, so the velocity

@@ -102,3 +102,32 @@ def test_pad_frames_roundtrip():
     obs_p, mask_p, F = pad_frames(obs, mask, 8)
     assert obs_p.shape[0] == 16 and F == 10
     assert not mask_p[10:].any()
+
+
+@pytest.mark.slow
+def test_chunked_composes_with_sharding():
+    """chunk_frames + mesh: each fixed chunk window is rounded up to a
+    device-count multiple and solved sharded; the composition must match
+    the unsharded unchunked solve."""
+    model, betas, latents, prior, obs, mask = _tiny_problem(frames=40,
+                                                            markers=12)
+    base = dict(maxiter=30, smoothing_sweeps=1, anchor_stride=4)
+    prob = prepare_stageii_problem(
+        model, betas, latents, opts=StageIIOptions(**base))
+
+    res_ref = mosh_stageii_solve(
+        prob, StageIIOptions(**base, chunk_frames=0), jnp.asarray(obs),
+        jnp.asarray(mask, jnp.float32), prior=prior, model_type="smplh")
+    mesh = frame_mesh(jax.devices()[:8])
+    # window = 16 + 2*6 = 28 -> rounded to 32 for the 8-device mesh
+    res_cs = mosh_stageii_solve_sharded(
+        prob, StageIIOptions(**base, chunk_frames=16, chunk_halo=6),
+        obs, mask, prior=prior, model_type="smplh", mesh=mesh)
+
+    assert np.asarray(res_cs.trans).shape == (40, 3)
+    err_r = float(np.mean(np.asarray(res_ref.data_err)))
+    err_c = float(np.mean(np.asarray(res_cs.data_err)))
+    assert abs(err_r - err_c) < 1e-4
+    dev = np.abs(np.asarray(res_cs.markers_sim)
+                 - np.asarray(res_ref.markers_sim))
+    assert dev.max() < 1e-3        # <= 1 mm any marker, any frame
