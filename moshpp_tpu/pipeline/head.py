@@ -12,8 +12,10 @@ idempotently skipped, which is also the fleet-scale crash-recovery story
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
+import shutil
 import time
 from glob import glob
 from typing import Optional
@@ -362,6 +364,14 @@ class MoSh:
             chunk_halo=cfg.get("opt_settings.chunk_halo", 32),
             weights=_stageii_weights(cfg),
         )
+        # mid-stage crash recovery: long chunked runs checkpoint each solved
+        # chunk beside the output pkl; a rerun after a crash resumes at the
+        # first unsolved chunk (the reference restarts the whole sequential
+        # loop, mosh_head.py:272). Removed once the stage pkl is written.
+        if (cfg.get("opt_settings.chunk_checkpoint", True)
+                and opts.chunk_frames and len(obs) > opts.chunk_frames):
+            opts = dataclasses.replace(
+                opts, checkpoint_dir=self.stageii_fname + ".ckpt")
         betas = self.stagei_data["betas"]
         if betas is None:
             betas = np.zeros(cfg["surface_model.num_betas"], np.float32)
@@ -409,6 +419,8 @@ class MoSh:
 
         with open(_makepath(self.stageii_fname), "wb") as f:
             pickle.dump(stageii_data, f)
+        if opts.checkpoint_dir:
+            shutil.rmtree(opts.checkpoint_dir, ignore_errors=True)
         self.stageii_data = stageii_data
         self.logger.info("created stageii_fname: %s (%.1fs)", self.stageii_fname,
                          stageii_data["stageii_debug_details"]["stageii_elapsed_time"])

@@ -45,6 +45,8 @@ Performance architecture (v5e, tunneled dispatch ~27 ms/call):
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -135,6 +137,12 @@ class StageIIOptions:
     # seam frames full velocity-sweep context on both sides.
     chunk_frames: int = 16384
     chunk_halo: int = 32
+    # crash recovery for long chunked runs: each solved chunk's kept interior
+    # is written here (atomic npz, fingerprinted by inputs+options); a re-run
+    # after a crash skips completed chunks instead of restarting from frame 0
+    # (the reference has stage-granularity caching only — a killed stage-ii
+    # restarts the whole sequential loop, mosh_head.py:272).
+    checkpoint_dir: Optional[str] = None
     weights: Optional[Dict[str, float]] = None
     knn_k: int = 8
 
@@ -894,6 +902,64 @@ class StageIIReport(NamedTuple):
         return "\n".join(rows)
 
 
+def _chunk_fingerprint(prob, inner_opts, obs_c, msk_c) -> str:
+    """Content hash tying a chunk checkpoint to its exact inputs: observed
+    markers + mask of the padded window, the frozen subject context, and
+    every solver option. A stale checkpoint (edited mocap, different weights,
+    different model) fails the compare and the chunk re-solves."""
+    h = hashlib.sha1()
+    h.update(np.asarray(prob.betas, np.float32).tobytes())
+    h.update(np.asarray(prob.coeffs, np.float32).tobytes())
+    for c in (prob.frame_c0, prob.frame_c1, prob.frame_c2):
+        h.update(np.asarray(c, np.int32).tobytes())
+    h.update(repr(dataclasses.replace(inner_opts, checkpoint_dir=None)).encode())
+    h.update(obs_c.tobytes())
+    h.update(msk_c.tobytes())
+    return h.hexdigest()
+
+
+_CKPT_REPORT_FIELDS = ("energies_before", "energies_after", "iterations")
+
+
+def _chunk_ckpt_load(path, fingerprint, return_report):
+    """Return (StageIIResult interior, StageIIReport | None) or None."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["fingerprint"]) != fingerprint:
+                return None
+            if return_report and "report_energies_after" not in z:
+                return None  # saved without telemetry; re-solve to get it
+            res = StageIIResult(*[z[f] for f in StageIIResult._fields])
+            rep = None
+            if return_report:
+                rep = StageIIReport(
+                    phase_names=tuple(str(s) for s in z["report_phase_names"]),
+                    term_names=tuple(str(s) for s in z["report_term_names"]),
+                    **{f: z["report_" + f] for f in _CKPT_REPORT_FIELDS})
+            return res, rep
+    except Exception:  # truncated/corrupt file from a mid-write crash
+        return None
+
+
+def _chunk_ckpt_save(path, fingerprint, piece, rep):
+    arrays = {"fingerprint": np.asarray(fingerprint)}
+    arrays.update({f: np.asarray(getattr(piece, f))
+                   for f in StageIIResult._fields})
+    if rep is not None:
+        # "report_" prefix: StageIIResult and StageIIReport both have an
+        # `iterations` field (per-frame vs per-phase)
+        arrays["report_phase_names"] = np.asarray(rep.phase_names)
+        arrays["report_term_names"] = np.asarray(rep.term_names)
+        arrays.update({"report_" + f: np.asarray(getattr(rep, f))
+                       for f in _CKPT_REPORT_FIELDS})
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic: a crash never leaves a partial .npz
+
+
 def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
                    jit_solve, return_report, on_phase, mesh):
     """Overlapping-chunk drive of mosh_stageii_solve for long sequences.
@@ -920,6 +986,10 @@ def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         W = -(-W // n_dev) * n_dev
 
+    ckpt_dir = opts.checkpoint_dir
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
     pieces, reps, kept_sizes = [], [], []
     for s in range(0, F, C):
         lo, hi = max(0, s - H), min(F, s + C + H)
@@ -933,14 +1003,29 @@ def _solve_chunked(prob, opts, markers_obs, mask, *, prior, model_type,
             # away from anything kept
             obs_c = np.concatenate([obs_c, obs_c[-1:].repeat(pad, 0)], axis=0)
             msk_c = np.concatenate([msk_c, msk_c[-1:].repeat(pad, 0)], axis=0)
+        n_keep = min(C, F - s)
+        ckpt_path = fp = None
+        if ckpt_dir:
+            fp = _chunk_fingerprint(prob, inner_opts, obs_c, msk_c)
+            ckpt_path = os.path.join(ckpt_dir, f"chunk_{s:09d}.npz")
+            cached = _chunk_ckpt_load(ckpt_path, fp, return_report)
+            if cached is not None:
+                piece, rep = cached
+                pieces.append(piece)
+                if rep is not None:
+                    reps.append(rep)
+                    kept_sizes.append(n_keep)
+                continue
         out = mosh_stageii_solve(prob, inner_opts, obs_c, msk_c, prior=prior,
                                  model_type=model_type, jit_solve=jit_solve,
                                  return_report=return_report,
                                  on_phase=on_phase, mesh=mesh)
         res, rep = out if return_report else (out, None)
-        n_keep = min(C, F - s)
         take = slice(s - lo, s - lo + n_keep)
-        pieces.append(StageIIResult(*[np.asarray(f)[take] for f in res]))
+        piece = StageIIResult(*[np.asarray(f)[take] for f in res])
+        if ckpt_dir:
+            _chunk_ckpt_save(ckpt_path, fp, piece, rep)
+        pieces.append(piece)
         if rep is not None:
             reps.append(rep)
             kept_sizes.append(n_keep)

@@ -207,6 +207,62 @@ class TestChunkedSolve:
             np.asarray(res_chunk.markers_sim) - np.asarray(res_full.markers_sim))
         assert dev_mm.max() < 1.0, f"max seam deviation {dev_mm.max():.3f} mm"
 
+    def test_chunk_checkpoint_resume(self, model, prior, rng, tmp_path,
+                                     monkeypatch):
+        """Chunk checkpointing: a rerun skips completed chunks, a crash
+        mid-sequence resumes at the first unsolved chunk with identical
+        results, and a stale checkpoint (changed inputs/options) re-solves."""
+        from moshpp_tpu.pipeline import stageii as sii
+
+        F, M = 24, 12
+        truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng)
+        prob = prepare_stageii_problem(model, truth["betas"], truth["latents"])
+        mask = np.ones((F, M), bool)
+        ckpt = str(tmp_path / "ckpt")
+        base = dict(maxiter=30, smoothing_sweeps=1, anchor_stride=4,
+                    chunk_frames=12, chunk_halo=4, checkpoint_dir=ckpt)
+
+        inner_calls = []
+        real_solve = sii.mosh_stageii_solve
+
+        def counting_solve(prob, opts, *a, **kw):
+            if opts.chunk_frames == 0:  # inner per-chunk call
+                inner_calls.append(1)
+            return real_solve(prob, opts, *a, **kw)
+
+        monkeypatch.setattr(sii, "mosh_stageii_solve", counting_solve)
+
+        opts = StageIIOptions(**base)
+        res1, rep1 = counting_solve(prob, opts, truth["obs"], mask,
+                                    prior=prior, return_report=True)
+        assert len(inner_calls) == 2  # F=24 / C=12 chunks, all solved
+        files = sorted(p.name for p in (tmp_path / "ckpt").iterdir())
+        assert files == ["chunk_000000000.npz", "chunk_000000012.npz"]
+
+        # full rerun: everything cached, zero solver calls, identical output
+        inner_calls.clear()
+        res2, rep2 = counting_solve(prob, opts, truth["obs"], mask,
+                                    prior=prior, return_report=True)
+        assert len(inner_calls) == 0
+        for f in StageIIResult._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(res1, f)),
+                                          np.asarray(getattr(res2, f)), err_msg=f)
+        np.testing.assert_array_equal(rep1.energies_after, rep2.energies_after)
+        np.testing.assert_array_equal(rep1.iterations, rep2.iterations)
+
+        # crash simulation: second chunk lost -> exactly one chunk re-solves
+        (tmp_path / "ckpt" / "chunk_000000012.npz").unlink()
+        inner_calls.clear()
+        res3 = counting_solve(prob, opts, truth["obs"], mask, prior=prior)
+        assert len(inner_calls) == 1
+        np.testing.assert_array_equal(np.asarray(res1.trans),
+                                      np.asarray(res3.trans))
+
+        # stale checkpoints: changed inputs fail the fingerprint compare
+        inner_calls.clear()
+        counting_solve(prob, opts, truth["obs"] + 1e-6, mask, prior=prior)
+        assert len(inner_calls) == 2
+
     def test_chunked_report_merging(self, model, prior, rng):
         F, M = 24, 12
         truth = _make_truth(model, num_markers=M, num_frames=F, rng=rng)
