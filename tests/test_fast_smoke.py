@@ -200,3 +200,30 @@ def test_stagei_step_traces():
     assert pmask.shape == (ctx.lay.dim,)
     r = jax.eval_shape(residual, jax.ShapeDtypeStruct(x0.shape, jnp.float32))
     assert r.ndim == 1 and r.shape[0] > F * M * 3
+
+
+def test_no_shadowing_duplicate_definitions():
+    """Python's last-definition-wins silently shadows an earlier def: a
+    half-finished edit committed as a duplicate function broke the whole
+    TPU path at round-2 HEAD (pallas_marker_jac NameError at trace time).
+    Guard every module against the pattern structurally."""
+    import ast
+    import pathlib
+
+    import moshpp_tpu
+
+    pkg = pathlib.Path(moshpp_tpu.__file__).parent
+    files = sorted(pkg.rglob("*.py"))
+    files += [pkg.parent / f for f in ("bench.py", "__graft_entry__.py")
+              if (pkg.parent / f).exists()]
+    dups = []
+    for p in files:
+        seen = {}
+        for node in ast.parse(p.read_text()).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                if node.name in seen:
+                    dups.append(f"{p}:{node.lineno} re-defines {node.name} "
+                                f"(first at :{seen[node.name]})")
+                seen[node.name] = node.lineno
+    assert not dups, "\n".join(dups)
