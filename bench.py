@@ -22,8 +22,8 @@ import numpy as np
 def main():
     import os
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("MOSHPP_JAX_CACHE", "/tmp/moshpp_tpu_jax_cache"))
+    from moshpp_tpu.utils.cache import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
 
     from moshpp_tpu.models import make_synthetic_model, lbs_forward

@@ -33,7 +33,9 @@ import jax
 # to run on an attached TPU instead.
 if os.environ.get("MOSHPP_EXAMPLE_DEVICE", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache")
+from moshpp_tpu.utils.cache import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()
 
 import jax.numpy as jnp
 

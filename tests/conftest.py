@@ -25,7 +25,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the solver jits are large and identical across
 # test runs; caching them cuts suite time dramatically
-jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache")
+from moshpp_tpu.utils.cache import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()  # host-keyed: a stale cross-machine entry can hard-abort
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

@@ -13,7 +13,8 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache_cpu")
+from moshpp_tpu.utils.cache import setup_jax_cache
+setup_jax_cache("/tmp/moshpp_tpu_jax_cache_cpu")
 import numpy as np, jax.numpy as jnp
 from jax.sharding import Mesh
 from moshpp_tpu.models import make_synthetic_model, lbs_forward

@@ -35,9 +35,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("MOSHPP_JAX_CACHE",
-                                     "/tmp/moshpp_tpu_jax_cache"))
+    from moshpp_tpu.utils.cache import setup_jax_cache
+    setup_jax_cache()
     import jax.numpy as jnp
 
     from moshpp_tpu.models import make_synthetic_model, lbs_forward

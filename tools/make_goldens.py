@@ -15,7 +15,8 @@ import numpy as np
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/moshpp_tpu_jax_cache")
+    from moshpp_tpu.utils.cache import setup_jax_cache
+    setup_jax_cache()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
