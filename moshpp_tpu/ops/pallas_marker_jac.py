@@ -232,7 +232,7 @@ def _frame_rest_geometry(trel_ref, jnts_ref, dtrelE_ref, djntE_ref,
 
 
 def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
-                 trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                 trel_ref, dtrelE_ref, djntE_ref, extra_ref, ancT_ref,
                  grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                  datrE_ref, *, parents, has_pb, n_extra):
     """Per-frame-block FK pipeline: rodrigues + dR + tree FK + generators.
@@ -241,8 +241,11 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
     index leading and frames in lanes, consumed by `_marker_kernel`.
 
     With n_extra > 0 the FK runs on per-frame rest joints (extras shift both
-    vertices and joints through joint_shapedirs) and a tangent FK emits
-    dA_tr/dx_e stacks for the E extra Jacobian columns.
+    vertices and joints through joint_shapedirs) and dA_tr/dx_e stacks are
+    emitted for the E extra Jacobian columns — in closed form after the FK
+    (G_tr is linear in the rest offsets; one chain-mask matmul against the
+    final parent rotations), not by carrying 3E tangent tiles through every
+    level of the FK loop.
     """
     J = len(parents)
     L = lvl_ref.shape[0]
@@ -255,15 +258,9 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
         trel_ref, jnts_ref, dtrelE_ref, djntE_ref, extra_ref, n_extra)
     G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
     G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
-    # tangent FK state: dG_tr/dx_e (the source dtrel_e is constant per joint;
-    # frame dependence enters only through the accumulated parent rotations)
-    dGtr = [[jnp.broadcast_to(dtrelE[:, e * 3 + a:e * 3 + a + 1],
-                              th[0].shape) for a in range(3)]
-            for e in range(n_extra)]
     par = par_ref[:]
     for lev in range(L):
-        flat = ([G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
-                + [dGtr[e][a] for e in range(n_extra) for a in range(3)])
+        flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
         gp = _gather_rows(par, flat)
         gp_rot = [[gp[a * 3 + b] for b in range(3)] for a in range(3)]
         gp_tr = gp[9:12]
@@ -276,23 +273,10 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
             for b in range(3):
                 G_rot[a][b] = m * new_rot[a][b] + (1.0 - m) * G_rot[a][b]
             G_tr[a] = m * new_tr[a] + (1.0 - m) * G_tr[a]
-        for e in range(n_extra):
-            gp_dtr = gp[12 + e * 3:12 + e * 3 + 3]
-            for a in range(3):
-                new_dtr = (sum(gp_rot[a][k]
-                               * dtrelE[:, e * 3 + k:e * 3 + k + 1]
-                               for k in range(3)) + gp_dtr[a])
-                dGtr[e][a] = m * new_dtr + (1.0 - m) * dGtr[e][a]
 
     # skinning transforms: A_rot = G_rot, A_tr = G_tr - G_rot @ rest_joint
     A_tr = [G_tr[a] - sum(G_rot[a][b] * jnts[b] for b in range(3))
             for a in range(3)]
-    # dA_tr/dx_e = dG_tr_e - G_rot @ djnt_e  (A_rot has no extra dependence)
-    for e in range(n_extra):
-        for a in range(3):
-            datrE_ref[e * 3 + a, :, :] = dGtr[e][a] - sum(
-                G_rot[a][b] * djntE[:, e * 3 + b:e * 3 + b + 1]
-                for b in range(3))
 
     # parent transforms for the generators (root parent = identity)
     flat = [G_rot[a][b] for a in range(3) for b in range(3)] + G_tr
@@ -302,6 +286,30 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
     Q = [[rootm * eye[a][b] + (1.0 - rootm) * gp[a * 3 + b]
           for b in range(3)] for a in range(3)]
     bb = [(1.0 - rootm) * gp[9 + a] for a in range(3)]
+
+    if n_extra:
+        # closed-form extras tangent: G_tr is LINEAR in the rest offsets, so
+        # instead of carrying 3E tangent tiles through every FK level,
+        #   dG_tr_e[j] = sum_{k in chain(j)} Gp_rot[k] . dtrel_e[k]
+        # with Gp_rot = Q (parent global rotations, root = identity) — one
+        # chain-mask matmul after the FK. anc[m, j] = ancT[j, m], so the
+        # chain sum is a dim-0 contraction against the existing ancT table.
+        Y = [sum(Q[a][b] * dtrelE[:, e * 3 + b:e * 3 + b + 1]
+                 for b in range(3))
+             for e in range(n_extra) for a in range(3)]        # (J, BF) each
+        dcat = jax.lax.dot_general(
+            ancT_ref[:], jnp.concatenate(Y, axis=1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # (J, 3E*BF)
+        # dA_tr/dx_e = dG_tr_e - G_rot @ djnt_e (A_rot: no extra dependence)
+        for e in range(n_extra):
+            for a in range(3):
+                i = e * 3 + a
+                datrE_ref[i, :, :] = (
+                    dcat[:, i * BF:(i + 1) * BF]
+                    - sum(G_rot[a][b] * djntE[:, e * 3 + b:e * 3 + b + 1]
+                          for b in range(3)))
 
     # dRRt[a][c][t] = sum_b dR[t][a][b] R[c][b];  u = -dRRt @ t_rel
     dRRt = [[[sum(dR[t][a][b] * R[c][b] for b in range(3))
@@ -340,17 +348,17 @@ def _smalls_kernel(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
                    grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                    *, parents, has_pb):
     _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref, trel_ref,
-                 None, None, None,
+                 None, None, None, None,
                  grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                  None, parents=parents, has_pb=has_pb, n_extra=0)
 
 
 def _smalls_kernel_ext(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
-                       trel_ref, dtrelE_ref, djntE_ref, extra_ref,
+                       trel_ref, dtrelE_ref, djntE_ref, extra_ref, ancT_ref,
                        grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
                        feat_ref, datrE_ref, *, parents, has_pb, n_extra):
     _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref, trel_ref,
-                 dtrelE_ref, djntE_ref, extra_ref,
+                 dtrelE_ref, djntE_ref, extra_ref, ancT_ref,
                  grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                  datrE_ref, parents=parents, has_pb=has_pb, n_extra=n_extra)
 
@@ -1068,8 +1076,9 @@ def marker_sim_and_jacobian(model: SurfaceModel,
         if E:
             s_in += [cspec(), cspec(),
                      pl.BlockSpec((E, BF), lambda fi: (0, fi),
-                                  memory_space=pltpu.VMEM)]
-            s_args += [tables.dtrelE, tables.djntE, extra2]
+                                  memory_space=pltpu.VMEM),
+                     cspec()]
+            s_args += [tables.dtrelE, tables.djntE, extra2, tables.ancT]
             s_out_shape.append(
                 jax.ShapeDtypeStruct((3 * E, J, Fp), jnp.float32))  # datrE
             s_out.append(pl.BlockSpec((3 * E, J, BF),
@@ -1281,8 +1290,9 @@ def marker_resid_and_wjac(model: SurfaceModel,
     if E:
         s_in += [cspec(), cspec(),
                  pl.BlockSpec((E, BF), lambda fi: (0, fi),
-                              memory_space=pltpu.VMEM)]
-        s_args += [tables.dtrelE, tables.djntE, extra2]
+                              memory_space=pltpu.VMEM),
+                 cspec()]
+        s_args += [tables.dtrelE, tables.djntE, extra2, tables.ancT]
         s_out_shape.append(
             jax.ShapeDtypeStruct((3 * E, J, Fp), jnp.float32))
         s_out.append(pl.BlockSpec((3 * E, J, BF), lambda fi: (0, 0, fi),
