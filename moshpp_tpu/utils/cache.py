@@ -32,9 +32,53 @@ def jax_cache_dir(base: str = "/tmp/moshpp_tpu_jax_cache") -> str:
         return base
 
 
+def _patch_atomic_cache_writes() -> None:
+    """Make jax's file-cache writes atomic (tmp + rename).
+
+    Upstream `LRUCache.put` is a bare `cache_path.write_bytes(val)`: a
+    process dying mid-write (segfault, OOM kill, preemption) leaves a
+    TRUNCATED entry, and deserializing a truncated executable can segfault
+    every later run that reads it — a poisoned cache that looks warm.
+    This re-implements only the eviction-disabled fast path (the default:
+    `jax_compilation_cache_max_size` unset) with an atomic rename; the
+    eviction path falls through to upstream. Best-effort: silently a no-op
+    if jax internals move."""
+    try:
+        from jax._src import lru_cache as _lru
+
+        if getattr(_lru.LRUCache.put, "_moshpp_atomic", False):
+            return
+        _orig_put = _lru.LRUCache.put
+
+        def _atomic_put(self, key, val):
+            if self.eviction_enabled:
+                return _orig_put(self, key, val)
+            if not key:
+                raise ValueError("key cannot be empty")
+            path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            if path.exists():
+                return
+            tmp = path.with_name(f"{path.name}.tmp{os.getpid()}")
+            tmp.write_bytes(val)
+            os.replace(tmp, path)
+
+        _atomic_put._moshpp_atomic = True
+        _lru.LRUCache.put = _atomic_put
+    except Exception:
+        pass
+
+
 def setup_jax_cache(base: str = "/tmp/moshpp_tpu_jax_cache") -> str:
     """Point jax's persistent compilation cache at the host-keyed dir."""
     import jax
     d = jax_cache_dir(base)
     jax.config.update("jax_compilation_cache_dir", d)
+    _patch_atomic_cache_writes()
+    # sweep tmp files abandoned by a previous crashed writer
+    try:
+        for fn in os.listdir(d):
+            if ".tmp" in fn:
+                os.unlink(os.path.join(d, fn))
+    except OSError:
+        pass
     return d
