@@ -149,10 +149,27 @@ def golden_probe(family: str) -> np.ndarray:
 
 
 def golden_solve(family: str) -> dict:
-    """Full tiny stage-ii solve outcome."""
-    fp = build_family_problem(family)
-    res = mosh_stageii_solve(fp["prob"], fp["opts"], fp["obs"], fp["mask"],
-                             prior=fp["prior"], model_type=family)
+    """Full tiny stage-ii solve outcome.
+
+    Runs with the persistent compilation cache OFF: XLA:CPU executable
+    (de)serialization segfaults deterministically for one of these phase
+    programs when the process has substantial prior compile state (every
+    full-suite run died at this test — in cache get with a warm entry, in
+    cache put with a cold one — while isolated runs pass). In-process jit
+    reuse across the 7 families is unaffected."""
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()   # is_cache_used() memoizes per process; force re-check
+    try:
+        fp = build_family_problem(family)
+        res = mosh_stageii_solve(fp["prob"], fp["opts"], fp["obs"],
+                                 fp["mask"], prior=fp["prior"],
+                                 model_type=family)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+        _cc.reset_cache()
     return {
         "data_err": np.asarray(res.data_err),
         "markers_sim": np.asarray(res.markers_sim),
