@@ -13,6 +13,8 @@ Regenerate with `python tools/make_goldens.py` (CPU) after an INTENTIONAL
 semantics change, and say why in the commit message.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,33 +150,61 @@ def golden_probe(family: str) -> np.ndarray:
     return np.asarray(residual(fp["x_probe"], fp["aux_probe"]))
 
 
-def golden_solve(family: str) -> dict:
+def golden_solve(family: str, in_subprocess: bool = True) -> dict:
     """Full tiny stage-ii solve outcome.
 
-    Runs with the persistent compilation cache OFF: XLA:CPU executable
-    (de)serialization segfaults deterministically for one of these phase
-    programs when the process has substantial prior compile state (every
-    full-suite run died at this test — in cache get with a warm entry, in
-    cache put with a cold one — while isolated runs pass). In-process jit
-    reuse across the 7 families is unaffected."""
-    from jax._src import compilation_cache as _cc
-
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()   # is_cache_used() memoizes per process; force re-check
-    try:
-        fp = build_family_problem(family)
-        res = mosh_stageii_solve(fp["prob"], fp["opts"], fp["obs"],
-                                 fp["mask"], prior=fp["prior"],
-                                 model_type=family)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", prev)
-        _cc.reset_cache()
+    Runs in a FRESH interpreter by default: XLA:CPU segfaults compiling one
+    of these phase programs once the parent process has substantial prior
+    compile state — four consecutive full-suite runs died at this test with
+    the persistent cache warm (segv in cache get), cold (segv in cache put)
+    and fully bypassed (segv in backend_compile_and_load), while isolated
+    runs always pass. Out-of-process, the child hits the warm persistent
+    cache, so the cost is one interpreter start per family."""
+    if in_subprocess:
+        return _golden_solve_subprocess(family)
+    fp = build_family_problem(family)
+    res = mosh_stageii_solve(fp["prob"], fp["opts"], fp["obs"], fp["mask"],
+                             prior=fp["prior"], model_type=family)
     return {
         "data_err": np.asarray(res.data_err),
         "markers_sim": np.asarray(res.markers_sim),
         "trans": np.asarray(res.trans),
     }
+
+
+_CHILD_CODE = """
+import pickle, sys
+sys.path.insert(0, sys.argv[3])           # repo root
+sys.path.insert(0, sys.argv[4])           # tests dir
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize forces remote TPU
+from moshpp_tpu.utils.cache import setup_jax_cache
+setup_jax_cache()
+from golden_common import golden_solve
+r = golden_solve(sys.argv[1], in_subprocess=False)
+with open(sys.argv[2], "wb") as f:
+    pickle.dump(r, f)
+"""
+
+
+def _golden_solve_subprocess(family: str) -> dict:
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(tests_dir)
+    with tempfile.NamedTemporaryFile(suffix=".pkl") as out:
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE, family, out.name,
+             repo_root, tests_dir],
+            capture_output=True, timeout=1800)
+        assert r.returncode == 0, (
+            f"golden_solve({family}) subprocess rc={r.returncode}:\n"
+            f"{r.stderr.decode()[-2000:]}")
+        with open(out.name, "rb") as f:
+            return pickle.load(f)
 
 
 def build_stagei_problem():
