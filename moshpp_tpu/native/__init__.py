@@ -9,14 +9,50 @@ from __future__ import annotations
 
 import ctypes
 import os
+import shutil
+import subprocess
+import tempfile
 from typing import Optional
 
 import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "libmoshpp_c3d.so")
+# source lives in the repo checkout (<repo>/native/c3d_native.cc); absent in
+# an installed wheel, where only a prebuilt .so can provide the fast path
+_SRC_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         os.pardir, os.pardir, "native", "c3d_native.cc")
 _lib = None
 _load_attempted = False
+
+
+def _try_build() -> bool:
+    """Best-effort on-demand compile of the native codec (sub-second with
+    g++). Writes via a temp file + atomic rename so concurrent test workers
+    can't observe a half-written .so. Opt out with MOSHPP_NO_NATIVE_BUILD=1."""
+    if os.environ.get("MOSHPP_NO_NATIVE_BUILD") == "1":
+        return False
+    src = os.path.abspath(_SRC_PATH)
+    cxx = os.environ.get("CXX") or shutil.which("g++") or shutil.which("c++")
+    if not os.path.exists(src) or cxx is None:
+        return False
+    fd, tmp = tempfile.mkstemp(suffix=".so",
+                               dir=os.path.dirname(_LIB_PATH))
+    os.close(fd)
+    try:
+        rc = subprocess.run(
+            [cxx, "-O3", "-march=native", "-fPIC", "-fopenmp", "-std=c++17",
+             "-shared", "-o", tmp, src],
+            capture_output=True, timeout=120).returncode
+        if rc != 0:
+            return False
+        os.replace(tmp, _LIB_PATH)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -24,7 +60,7 @@ def _load():
     if _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) and not _try_build():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
