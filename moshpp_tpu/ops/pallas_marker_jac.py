@@ -63,6 +63,16 @@ import os as _os
 
 FUSED_EXTRA_REDUCE = _os.environ.get("MOSHPP_FUSED_EXTRA_REDUCE", "0") == "1"
 
+# Widest extras (dmpl/expression) block the marker kernels unroll INLINE —
+# each extra dim adds ~9 unrolled VPU row-ops per vertex plus a (3, J, BF)
+# tangent stack, so past ~16 dims compile time and VMEM blow up. Wider
+# configs (the reference's production smplx num_expressions=80,
+# support_data/conf/moshpp_conf.yaml:30) run the TILED path instead: the
+# extras tangent and the E Jacobian columns stream in EXTRA_CHUNK-wide
+# grid steps, so E is unbounded at O(E) cost with O(EXTRA_CHUNK) unroll.
+INLINE_MAX_EXTRAS = 16
+EXTRA_CHUNK = 8
+
 
 def _tree_level_masks(parents: Tuple[int, ...]) -> np.ndarray:
     """(L, J) 0/1 masks of joints at depth 1..L (root depth-0 excluded)."""
@@ -234,7 +244,8 @@ def _frame_rest_geometry(trel_ref, jnts_ref, dtrelE_ref, djntE_ref,
 def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
                  trel_ref, dtrelE_ref, djntE_ref, extra_ref, ancT_ref,
                  grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
-                 datrE_ref, *, parents, has_pb, n_extra):
+                 datrE_ref, *, parents, has_pb, n_extra,
+                 shift_ref=None, q_ref=None):
     """Per-frame-block FK pipeline: rodrigues + dR + tree FK + generators.
 
     Grid (nf,). All outputs are (k, J, BF) stacks with a static structure
@@ -256,6 +267,11 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
 
     trel, jnts, dtrelE, djntE, _ = _frame_rest_geometry(
         trel_ref, jnts_ref, dtrelE_ref, djntE_ref, extra_ref, n_extra)
+    if shift_ref is not None:
+        # tiled-extras mode: per-frame rest-geometry shifts precomputed in
+        # XLA (one (J*6, E) x (E, F) matmul) instead of unrolled over E
+        trel = [trel[c] + shift_ref[c] for c in range(3)]
+        jnts = [jnts[c] + shift_ref[3 + c] for c in range(3)]
     G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
     G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
     par = par_ref[:]
@@ -286,6 +302,13 @@ def _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
     Q = [[rootm * eye[a][b] + (1.0 - rootm) * gp[a * 3 + b]
           for b in range(3)] for a in range(3)]
     bb = [(1.0 - rootm) * gp[9 + a] for a in range(3)]
+    if q_ref is not None:
+        # tiled-extras mode: the chunked tangent kernel re-derives the
+        # closed-form dA_tr/dx_e from Q + G_rot per extras chunk
+        for a in range(3):
+            for b in range(3):
+                q_ref[a * 3 + b, :, :] = jnp.broadcast_to(
+                    Q[a][b], (J, th[0].shape[-1]))
 
     if n_extra:
         # closed-form extras tangent: G_tr is LINEAR in the rest offsets, so
@@ -363,13 +386,96 @@ def _smalls_kernel_ext(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
                  datrE_ref, parents=parents, has_pb=has_pb, n_extra=n_extra)
 
 
+def _smalls_kernel_tiled(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                         trel_ref, shift_ref,
+                         grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                         feat_ref, q_ref, *, parents, has_pb):
+    """Tiled-extras smalls: FK on precomputed shifted rest geometry + Q out.
+
+    The E-dependence enters only through `shift_ref` (a (6, J, BF) block of
+    XLA-precomputed trel/joint offsets), so this program's size is E-free;
+    the extras tangent streams separately through `_extras_tangent_kernel`.
+    """
+    _smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref, trel_ref,
+                 None, None, None, None,
+                 grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 None, parents=parents, has_pb=has_pb, n_extra=0,
+                 shift_ref=shift_ref, q_ref=q_ref)
+
+
+def _extras_tangent_kernel(q_ref, grot_ref, dtrelE_ref, djntE_ref, ancT_ref,
+                           datrE_ref, *, n_chunk):
+    """One extras chunk of the closed-form tangent dA_tr/dx_e.
+
+    Grid (nf, nec); per step emits the (3*EXTRA_CHUNK, J, BF) tangent stack
+    for extras [ei*EC, (ei+1)*EC) from the FK outputs Q (parent global
+    rotations) and G_rot. Same math as `_smalls_impl`'s inline n_extra block
+    (G_tr linear in the rest offsets -> one chain-mask matmul), unrolled only
+    EXTRA_CHUNK wide so E is unbounded.
+    """
+    Q = [[q_ref[a * 3 + b] for b in range(3)] for a in range(3)]
+    G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
+    dtrelE = dtrelE_ref[:]                                     # (J, 3*EC)
+    djntE = djntE_ref[:]
+    BFk = Q[0][0].shape[-1]
+    Y = [sum(Q[a][b] * dtrelE[:, e * 3 + b:e * 3 + b + 1] for b in range(3))
+         for e in range(n_chunk) for a in range(3)]            # (J, BF) each
+    dcat = jax.lax.dot_general(
+        ancT_ref[:], jnp.concatenate(Y, axis=1),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # (J, 3EC*BF)
+    for e in range(n_chunk):
+        for a in range(3):
+            i = e * 3 + a
+            datrE_ref[i, :, :] = (
+                dcat[:, i * BFk:(i + 1) * BFk]
+                - sum(G_rot[a][b] * djntE[:, e * 3 + b:e * 3 + b + 1]
+                      for b in range(3)))
+
+
+def _extras_cols_kernel(datrE_ref, uv_ref, wT_ref, dvE_ref, jme_ref,
+                        *, n_chunk):
+    """One (frame-block, marker, extras-chunk) step of the E extra columns.
+
+    Consumes the tangent chunk plus the base marker kernel's per-marker
+    U/V factors (U = local-frame chain dms, V = dms @ T_rot, pre-weighted in
+    the folded variant):
+        jm_ext[c, e] = sum_k [ sum_d U_k[c][d] * (w_k . dA_tr_e[d])
+                             + sum_z V_k[c][z] * dv[e][z][k] ]
+    which is exactly the inline kernel's extras math with the marker-frame
+    chain distributed over the sum.
+    """
+    uv = uv_ref[0]                                             # (54, BF)
+    datrE = datrE_ref[:]                                       # (3EC, J, BF)
+    wT = wT_ref[:]                                             # (J, 128)
+    dv = dvE_ref[:]                                            # (3EC, 128)
+    acc = [[None] * n_chunk for _ in range(3)]
+    for k in range(3):
+        wcol = wT[:, k:k + 1]                                  # (J, 1)
+        wdat = jnp.sum(wcol[None, :, :] * datrE, axis=1)       # (3EC, BF)
+        for c in range(3):
+            u0 = k * 9 + c * 3
+            for e in range(n_chunk):
+                t = sum(uv[u0 + d:u0 + d + 1, :]
+                        * wdat[e * 3 + d:e * 3 + d + 1, :]
+                        for d in range(3))
+                t = t + sum(uv[27 + u0 + z:28 + u0 + z, :]
+                            * dv[e * 3 + z:e * 3 + z + 1, k:k + 1]
+                            for z in range(3))
+                acc[c][e] = t if acc[c][e] is None else acc[c][e] + t
+    for c in range(3):
+        jme_ref[c, :, :] = jnp.concatenate(acc[c], axis=0)
+
+
 def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                  trans_ref,
                  ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref, pdrow_ref,
                  pdJ_ref, cf_ref, wo_ref,
                  datrE_ref, dvE_ref, extra_ref,
                  out_ref, jm_ref,
-                 *, num_joints, body_dof, hand_dof, has_pb, n_extra):
+                 *, num_joints, body_dof, hand_dof, has_pb, n_extra,
+                 vpshift_ref=None, uv_ref=None):
     """One (frame-block, marker) program.
 
     Smalls blocks depend only on the frame index, so Mosaic keeps them
@@ -411,6 +517,7 @@ def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
     verts = []
     Jp = []
     JpE = []
+    Trots = []
     for k in range(3):
         wcol = wT[:, k:k + 1]                                  # (J, 1)
         scol = sT[:, k:k + 1]
@@ -426,6 +533,10 @@ def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
             vp = [vp[c] + sum(dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
                               * ex[e] for e in range(n_extra))
                   for c in range(3)]
+        if vpshift_ref is not None:
+            # tiled-extras mode: per-frame vertex offsets precomputed in XLA
+            vp = [vp[c] + vpshift_ref[0, k * 3 + c:k * 3 + c + 1, :]
+                  for c in range(3)]
 
         # z_b = A_rot[b] @ v_posed + A_tr[b]; y = w * z; S = ancT @ y
         zb = [sum(G_rot[b][c] * vp[c] for c in range(3)) + A_tr[b]
@@ -439,6 +550,8 @@ def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
                  for c in range(3)] for a in range(3)]
         Ttr = [jnp.sum(wcol * A_tr[a], axis=0, keepdims=True)
                for a in range(3)]
+        if uv_ref is not None:
+            Trots.append(Trot)
 
         # J_fk[a][t] (J, BF) = W_rot S + s W_tr (+ T_rot dvp)
         Jf = [[sum(W_rot[a][b][t] * S[b] for b in range(3))
@@ -539,6 +652,26 @@ def _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
             for b in range(3)] for a in range(3)]
     dms = [dm0, dm1, dm2]
 
+    if uv_ref is not None:
+        # tiled-extras mode: export the per-marker local-frame chain so the
+        # chunked `_extras_cols_kernel` can emit the E extra columns without
+        # re-deriving the marker frame. Rows [0,27): U = dms (k, c, d);
+        # rows [27,54): V = dms @ T_rot (k, c, z). Pre-weighted by wrow in
+        # the folded-weights variant so jm_ext comes out weighted too.
+        rows = []
+        for k in range(3):
+            for c in range(3):
+                for d in range(3):
+                    r = dms[k][c][d]
+                    rows.append(jnp.broadcast_to(r, (1, BF)) if wrow is None
+                                else r * wrow)
+        for k in range(3):
+            for c in range(3):
+                for z in range(3):
+                    r = sum(dms[k][c][d] * Trots[k][d][z] for d in range(3))
+                    rows.append(r if wrow is None else r * wrow)
+        uv_ref[0, :, :] = jnp.concatenate(rows, axis=0)
+
     for c in range(3):
         row = sum(dms[k][c][d] * Jp[k][d]
                   for k in range(3) for d in range(3))         # (P_out, BF)
@@ -582,10 +715,38 @@ def _marker_kernel_ext(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
                  hand_dof=hand_dof, has_pb=has_pb, n_extra=n_extra)
 
 
+def _marker_kernel_tiled(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                         feat_ref, trans_ref, vpshift_ref,
+                         ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                         pdrow_ref, pdJ_ref, cf_ref,
+                         sim_ref, jm_ref, uv_ref,
+                         *, num_joints, body_dof, hand_dof, has_pb):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, None, None, None, None,
+                 sim_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=0,
+                 vpshift_ref=vpshift_ref, uv_ref=uv_ref)
+
+
+def _marker_jac_w_kernel_tiled(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref,
+                               feat_ref, trans_ref, vpshift_ref,
+                               ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                               pdrow_ref, pdJ_ref, cf_ref, wo_ref,
+                               rw_ref, jm_ref, uv_ref,
+                               *, num_joints, body_dof, hand_dof, has_pb):
+    _marker_impl(grot_ref, atr_ref, wrot_ref, wtr_ref, dr_ref, feat_ref,
+                 trans_ref, ancT_ref, hc_ref, wT_ref, sT_ref, vshT_ref,
+                 pdrow_ref, pdJ_ref, cf_ref, wo_ref, None, None, None,
+                 rw_ref, jm_ref, num_joints=num_joints, body_dof=body_dof,
+                 hand_dof=hand_dof, has_pb=has_pb, n_extra=0,
+                 vpshift_ref=vpshift_ref, uv_ref=uv_ref)
+
+
 def _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
                      trel_ref, dtrelE_ref, djntE_ref, extra_ref,
                      grot_ref, atr_ref, feat_ref,
-                     *, parents, has_pb, n_extra):
+                     *, parents, has_pb, n_extra, shift_ref=None):
     """Sim-only smalls: rodrigues + tree FK (no derivative chain).
 
     With n_extra > 0 the rest joints shift per frame with the extra
@@ -599,6 +760,9 @@ def _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
 
     trel, jnts, _, _, _ = _frame_rest_geometry(
         trel_ref, jnts_ref, dtrelE_ref, djntE_ref, extra_ref, n_extra)
+    if shift_ref is not None:
+        trel = [trel[c] + shift_ref[c] for c in range(3)]
+        jnts = [jnts[c] + shift_ref[3 + c] for c in range(3)]
     G_rot = [[R[a][b] for b in range(3)] for a in range(3)]
     G_tr = [jnp.broadcast_to(trel[a], th[0].shape) for a in range(3)]
     par = par_ref[:]
@@ -651,10 +815,21 @@ def _sim_smalls_kernel_ext(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
                      parents=parents, has_pb=has_pb, n_extra=n_extra)
 
 
+def _sim_smalls_kernel_tiled(theta_ref, lvl_ref, par_ref, rootm_ref,
+                             jnts_ref, trel_ref, shift_ref,
+                             grot_ref, atr_ref, feat_ref,
+                             *, parents, has_pb):
+    _sim_smalls_impl(theta_ref, lvl_ref, par_ref, rootm_ref, jnts_ref,
+                     trel_ref, None, None, None,
+                     grot_ref, atr_ref, feat_ref,
+                     parents=parents, has_pb=has_pb, n_extra=0,
+                     shift_ref=shift_ref)
+
+
 def _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
                      wT_ref, vshT_ref, pdrow_ref, cf_ref, dvE_ref,
                      sim_ref,
-                     *, num_joints, has_pb, n_extra):
+                     *, num_joints, has_pb, n_extra, vpshift_ref=None):
     """Sim-only per-marker program: skinning + local-frame reconstruction."""
     G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
     A_tr = [atr_ref[a] for a in range(3)]
@@ -681,6 +856,9 @@ def _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
         if n_extra:
             vp = [vp[c] + sum(dvband[e * 3 + c:e * 3 + c + 1, k:k + 1]
                               * ex[e] for e in range(n_extra))
+                  for c in range(3)]
+        if vpshift_ref is not None:
+            vp = [vp[c] + vpshift_ref[0, k * 3 + c:k * 3 + c + 1, :]
                   for c in range(3)]
         Trot = [[jnp.sum(wcol * G_rot[a][c], axis=0, keepdims=True)
                  for c in range(3)] for a in range(3)]
@@ -729,6 +907,50 @@ def _sim_marker_kernel_ext(grot_ref, atr_ref, feat_ref, trans_ref, extra_ref,
                      n_extra=n_extra)
 
 
+def _sim_marker_kernel_tiled(grot_ref, atr_ref, feat_ref, trans_ref,
+                             vpshift_ref,
+                             wT_ref, vshT_ref, pdrow_ref, cf_ref,
+                             sim_ref,
+                             *, num_joints, has_pb):
+    _sim_marker_impl(grot_ref, atr_ref, feat_ref, trans_ref, None,
+                     wT_ref, vshT_ref, pdrow_ref, cf_ref, None,
+                     sim_ref, num_joints=num_joints, has_pb=has_pb,
+                     n_extra=0, vpshift_ref=vpshift_ref)
+
+
+def _tiled_extra_inputs(tables: MarkerJacTables, x_pad: jnp.ndarray,
+                        E: int, M: int, J: int, P: int):
+    """XLA-precomputed per-frame inputs for the tiled-extras kernel path.
+
+    The extras' effect on the PRIMAL is linear in the direction tables, so
+    the per-frame rest-geometry and vertex offsets are two small matmuls
+    ((J*6, E) x (E, F) and (M*9, E) x (E, F)) that XLA fuses; only the
+    E Jacobian *columns* need kernel work, which streams in EXTRA_CHUNK
+    slabs. Returns (jshift (6, J, Fp) rows [trel_c; jnt_c], vpshift
+    (M, 9, Fp) rows k*3+c, padded chunk tables, num chunks).
+    """
+    extra = x_pad[:, 3 + P:3 + P + E]                          # (Fp, E)
+    Fp = x_pad.shape[0]
+    dtrel3 = tables.dtrelE.reshape(J, E, 3)
+    djnt3 = tables.djntE.reshape(J, E, 3)
+    dv = tables.dvE.reshape(E, 3, M, 128)[..., :3]             # [e, c, m, k]
+    with jax.default_matmul_precision("highest"):
+        sh_tr = jnp.einsum("jec,fe->cjf", dtrel3, extra)
+        sh_j = jnp.einsum("jec,fe->cjf", djnt3, extra)
+        vpshift = jnp.einsum("ecmk,fe->mkcf", dv, extra)
+    jshift = jnp.concatenate([sh_tr, sh_j], axis=0)            # (6, J, Fp)
+    vpshift = vpshift.reshape(M, 9, Fp)
+    EC = EXTRA_CHUNK
+    nec = -(-E // EC)
+    pad = nec * EC - E
+    # zero-padded direction chunks -> the padded Jacobian columns come out
+    # exactly zero and are sliced off after the kernel
+    dtrelE_p = jnp.pad(tables.dtrelE, ((0, 0), (0, 3 * pad)))
+    djntE_p = jnp.pad(tables.djntE, ((0, 0), (0, 3 * pad)))
+    dvE_p = jnp.pad(tables.dvE, ((0, 3 * pad), (0, 0)))
+    return jshift, vpshift, dtrelE_p, djntE_p, dvE_p, nec
+
+
 def marker_sim(model: SurfaceModel,
                tables: MarkerJacTables,
                x: jnp.ndarray,
@@ -751,7 +973,13 @@ def marker_sim(model: SurfaceModel,
     featN = (J - 1) * 9 if has_pb else 8
     E = tables.n_extra
 
-    if E:
+    tiled = E > INLINE_MAX_EXTRAS
+    if tiled:
+        smalls_kern = functools.partial(_sim_smalls_kernel_tiled,
+                                        parents=parents, has_pb=has_pb)
+        marker_kern = functools.partial(_sim_marker_kernel_tiled,
+                                        num_joints=J, has_pb=has_pb)
+    elif E:
         smalls_kern = functools.partial(_sim_smalls_kernel_ext,
                                         parents=parents, has_pb=has_pb,
                                         n_extra=E)
@@ -786,7 +1014,13 @@ def marker_sim(model: SurfaceModel,
     ]
     s_args = [theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
               tables.trel]
-    if E:
+    if tiled:
+        jshift, vpshift, _, _, _, _ = _tiled_extra_inputs(
+            tables, x, E, M, J, P)
+        s_in.append(pl.BlockSpec((6, J, BF), lambda fi: (0, 0, fi),
+                                 memory_space=pltpu.VMEM))
+        s_args.append(jshift)
+    elif E:
         extra2 = x[:, 3 + P:3 + P + E].T                       # (E, Fp)
         s_in += [cspec(), cspec(),
                  pl.BlockSpec((E, BF), lambda fi: (0, fi),
@@ -823,7 +1057,11 @@ def marker_sim(model: SurfaceModel,
                      memory_space=pltpu.VMEM),
     ]
     m_args = list(smalls) + [trans2]
-    if E:
+    if tiled:
+        m_in.append(pl.BlockSpec((1, 9, BF), lambda fi, mi: (mi, 0, fi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(vpshift)
+    elif E:
         m_in.append(pl.BlockSpec((E, BF), lambda fi, mi: (0, fi),
                                  memory_space=pltpu.VMEM))
         m_args.append(extra2)
@@ -838,7 +1076,7 @@ def marker_sim(model: SurfaceModel,
                      memory_space=pltpu.VMEM),
     ]
     m_args += [tables.wT, tables.vshT, tables.pdrow, tables.cf]
-    if E:
+    if E and not tiled:
         m_in.append(pl.BlockSpec((3 * E, 128), lambda fi, mi: (0, mi),
                                  memory_space=pltpu.VMEM))
         m_args.append(tables.dvE)
@@ -995,6 +1233,219 @@ def prepare_marker_jac_tables(model: SurfaceModel,
     )
 
 
+def _sim_and_jac_tiled(model: SurfaceModel,
+                       tables: MarkerJacTables,
+                       x: jnp.ndarray,
+                       wo_full=None,
+                       interpret: bool = False):
+    """Tiled-extras fused markers + Jacobian (E > INLINE_MAX_EXTRAS).
+
+    Four-kernel pipeline so program size is independent of E (the
+    reference's production smplx face config is E=80 expression dims,
+    support_data/conf/moshpp_conf.yaml:30):
+
+      1. `_smalls_kernel_tiled`  (nf,)          FK on XLA-precomputed shifted
+                                                rest geometry; also emits Q
+      2. `_extras_tangent_kernel` (nf, nec)     closed-form dA_tr/dx_e in
+                                                EXTRA_CHUNK slabs
+      3. `_marker_kernel_tiled`  (nf, M)        sim + (trans, pose) columns +
+                                                per-marker U/V chain factors
+      4. `_extras_cols_kernel`   (nf, nec, M)   the E extra columns
+
+    With `wo_full` (the folded-weights (M*8, Fp) w/obs table) the marker
+    kernel emits weighted residuals and U/V come out pre-weighted, so the
+    extra columns are weighted too. Returns (out_t (M, 3, Fp),
+    jm_full (M*3, 3+P+E, Fp)); callers slice/transpose.
+    """
+    info = model.info
+    parents = model.parents
+    J = model.num_joints
+    has_pb = model.posedirs.shape[-1] > 0 and J > 1
+    body_dof = info.body_pose_dof
+    hand_dof = model.pose_dof - body_dof if info.has_hands else 0
+    P = model.pose_dof
+    E = tables.n_extra
+    Dp = 3 + P
+    M = tables.cf.shape[0] // 8
+    RB = 16
+    CB = 8
+    pdN = tables.pdrow.shape[1]
+    J1 = tables.pdJ.shape[0]
+    featN = (J - 1) * 9 if has_pb else 8
+    EC = EXTRA_CHUNK
+    cspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    Fp = x.shape[0]                    # callers pre-pad to a BF multiple
+    nf = Fp // BF
+    trans = x[:, :3]
+    pose = x[:, 3:3 + P]
+    if info.has_hands:
+        with jax.default_matmul_precision("highest"):
+            hands = tables.hands_mean + pose[:, body_dof:] @ tables.hc
+        fullpose = jnp.concatenate([pose[:, :body_dof], hands], axis=1)
+    else:
+        fullpose = pose
+    theta3 = fullpose.reshape(Fp, J, 3).transpose(2, 1, 0)
+    trans2 = trans.T
+    jshift, vpshift, dtrelE_p, djntE_p, dvE_p, nec = _tiled_extra_inputs(
+        tables, x, E, M, J, P)
+
+    smalls_kern = functools.partial(_smalls_kernel_tiled, parents=parents,
+                                    has_pb=has_pb)
+    s_in = [
+        pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        cspec(), cspec(), cspec(), cspec(), cspec(),
+        pl.BlockSpec((6, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+    ]
+    s_args = [theta3, tables.lvl, tables.par, tables.rootm, tables.jnts,
+              tables.trel, jshift]
+    s_out_shape = [
+        jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # grot
+        jax.ShapeDtypeStruct((3, J, Fp), jnp.float32),   # atr
+        jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # wrot
+        jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # wtr
+        jax.ShapeDtypeStruct((27, J, Fp), jnp.float32),  # dr
+        jax.ShapeDtypeStruct((featN, Fp), jnp.float32),  # feat
+        jax.ShapeDtypeStruct((9, J, Fp), jnp.float32),   # Q
+    ]
+    s_out = [
+        pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((featN, BF), lambda fi: (0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, J, BF), lambda fi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+    ]
+    smalls = pl.pallas_call(
+        smalls_kern,
+        grid=(nf,),
+        out_shape=s_out_shape,
+        in_specs=s_in,
+        out_specs=s_out,
+        interpret=interpret,
+    )(*s_args)
+    grot, atr, wrot, wtr, dr, feat, q = smalls
+
+    datrE = pl.pallas_call(
+        functools.partial(_extras_tangent_kernel, n_chunk=EC),
+        grid=(nf, nec),
+        out_shape=jax.ShapeDtypeStruct((3 * EC * nec, J, Fp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((9, J, BF), lambda fi, ei: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, J, BF), lambda fi, ei: (0, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 3 * EC), lambda fi, ei: (0, ei),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 3 * EC), lambda fi, ei: (0, ei),
+                         memory_space=pltpu.VMEM),
+            cspec(),
+        ],
+        out_specs=pl.BlockSpec((3 * EC, J, BF), lambda fi, ei: (ei, 0, fi),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, grot, dtrelE_p, djntE_p, tables.ancT)
+
+    if wo_full is None:
+        marker_kern = functools.partial(_marker_kernel_tiled, num_joints=J,
+                                        body_dof=body_dof, hand_dof=hand_dof,
+                                        has_pb=has_pb)
+    else:
+        marker_kern = functools.partial(_marker_jac_w_kernel_tiled,
+                                        num_joints=J, body_dof=body_dof,
+                                        hand_dof=hand_dof, has_pb=has_pb)
+    m_in = [
+        pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((27, J, BF), lambda fi, mi: (0, 0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((featN, BF), lambda fi, mi: (0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, BF), lambda fi, mi: (0, fi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9, BF), lambda fi, mi: (mi, 0, fi),
+                     memory_space=pltpu.VMEM),
+        cspec(), cspec(),
+        pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, pdN), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J1, 128), lambda fi, mi: (0, mi),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CB, 3), lambda fi, mi: (mi, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    m_args = [grot, atr, wrot, wtr, dr, feat, trans2, vpshift,
+              tables.ancT, tables.hc, tables.wT, tables.sT, tables.vshT,
+              tables.pdrow, tables.pdJ, tables.cf]
+    if wo_full is not None:
+        m_in.append(pl.BlockSpec((CB, BF), lambda fi, mi: (mi, fi),
+                                 memory_space=pltpu.VMEM))
+        m_args.append(wo_full)
+    out_t, jm_t, uv = pl.pallas_call(
+        marker_kern,
+        grid=(nf, M),
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 3, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((M * 3, Dp, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((M, 54, Fp), jnp.float32),
+        ],
+        in_specs=m_in,
+        out_specs=[
+            pl.BlockSpec((1, 3, BF), lambda fi, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Dp, BF), lambda fi, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 54, BF), lambda fi, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(*m_args)
+
+    jme = pl.pallas_call(
+        functools.partial(_extras_cols_kernel, n_chunk=EC),
+        grid=(nf, nec, M),      # markers innermost: the tangent chunk stays
+                                # VMEM-resident across the marker sweep
+        out_shape=jax.ShapeDtypeStruct((M * 3, EC * nec, Fp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((3 * EC, J, BF), lambda fi, ei, mi: (ei, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 54, BF), lambda fi, ei, mi: (mi, 0, fi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 128), lambda fi, ei, mi: (0, mi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * EC, 128), lambda fi, ei, mi: (ei, mi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, EC, BF), lambda fi, ei, mi: (mi, ei, fi),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(datrE, uv, tables.wT, dvE_p)
+
+    jm_full = jnp.concatenate([jm_t, jme[:, :E, :]], axis=1)
+    return out_t, jm_full
+
+
 def marker_sim_and_jacobian(model: SurfaceModel,
                             tables: MarkerJacTables,
                             x: jnp.ndarray,
@@ -1027,6 +1478,16 @@ def marker_sim_and_jacobian(model: SurfaceModel,
     pdN = tables.pdrow.shape[1]
     J1 = tables.pdJ.shape[0]
     featN = (J - 1) * 9 if has_pb else 8
+
+    if E > INLINE_MAX_EXTRAS:
+        F = x.shape[0]
+        Fp = -(-F // BF) * BF
+        xp = jnp.pad(x.astype(jnp.float32), ((0, Fp - F), (0, 0)))
+        sim_t, jm_full = _sim_and_jac_tiled(model, tables, xp,
+                                            interpret=interpret)
+        sim = sim_t.transpose(2, 0, 1)[:F]
+        jm = jm_full.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
+        return sim, jm
 
     if E:
         smalls_kern = functools.partial(_smalls_kernel_ext, parents=parents,
@@ -1229,6 +1690,13 @@ def marker_resid_and_wjac(model: SurfaceModel,
     wo = wo.at[:, 0, :F].set(wrow.astype(jnp.float32).T)
     wo = wo.at[:, 1:4, :F].set(obs.astype(jnp.float32).transpose(1, 2, 0))
     wo = wo.reshape(M * 8, Fp)
+
+    if E > INLINE_MAX_EXTRAS:
+        rw_t, jm_full = _sim_and_jac_tiled(model, tables, x, wo_full=wo,
+                                           interpret=interpret)
+        rw = rw_t.transpose(2, 0, 1)[:F]
+        jw = jm_full.reshape(M, 3, D, Fp).transpose(3, 0, 1, 2)[:F]
+        return rw, jw
 
     trans = x[:, :3]
     pose = x[:, 3:3 + P]

@@ -58,7 +58,8 @@ from moshpp_tpu.models.body_model import (MODEL_TYPE_INFO, SurfaceModel,
                                           pose_part_ids)
 from moshpp_tpu.ops.lbs_jacobian import (lbs_verts_and_jacobian,
                                          markers_and_jacobian)
-from moshpp_tpu.ops.pallas_marker_jac import (MarkerJacTables, marker_sim,
+from moshpp_tpu.ops.pallas_marker_jac import (INLINE_MAX_EXTRAS,
+                                              MarkerJacTables, marker_sim,
                                               marker_resid_and_wjac,
                                               marker_sim_and_jacobian,
                                               prepare_marker_jac_tables)
@@ -73,9 +74,12 @@ from moshpp_tpu.solver.gauss_newton import (DoglegOptions, GNSystem,
 
 NUM_TRAIN_MARKERS = 46.0  # weight-normalization constant (chmosh.py:460)
 
-# widest extra-dims (dmpl/expression) problem the fused kernels take; wider
-# configs (production smplx expressions = 80) use the XLA assembly
-MAX_KERNEL_EXTRAS = 16
+# Widest extras (dmpl/expression) block the marker kernels unroll INLINE;
+# wider configs (the production smplx num_expressions=80) stream the extras
+# tangent + Jacobian columns in chunks via the kernels' tiled path — see
+# ops/pallas_marker_jac.INLINE_MAX_EXTRAS / EXTRA_CHUNK. Kept as an alias so
+# callers can reason about which kernel variant a config compiles to.
+MAX_KERNEL_EXTRAS = INLINE_MAX_EXTRAS
 
 DEFAULT_STAGEII_WEIGHTS = {
     # smplh/smplx table, support_data/conf/moshpp_conf.yaml:118-125
@@ -235,13 +239,9 @@ def prepare_stageii_problem(model: SurfaceModel,
             es = min(opts.expr_start,
                      sub_model.num_shape_dirs - opts.num_expressions)
             extra_cols = list(range(es, es + opts.num_expressions))
-        if extra_cols is not None and len(extra_cols) > MAX_KERNEL_EXTRAS:
-            # the kernels unroll the extras tangent FK and keep (3E, J, BF)
-            # stacks in VMEM; past ~16 dims that blows compile time and the
-            # VMEM budget (e.g. the production smplx num_expressions=80
-            # config). Leave extras out of the tables: make_stageii_system
-            # then sees n_extra != E and routes to the XLA assembly.
-            extra_cols = None
+        # any width rides the kernels: E <= INLINE_MAX_EXTRAS unrolls inline,
+        # wider (production smplx num_expressions=80) streams through the
+        # tiled chunk kernels (ops/pallas_marker_jac._sim_and_jac_tiled)
         tables = prepare_marker_jac_tables(
             sub_model, indices, coeffs, betas[:opts.num_betas],
             extra_cols=extra_cols)

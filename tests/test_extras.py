@@ -256,6 +256,49 @@ class TestSmplxFace:
         err_mm = np.asarray(res.data_err) * 1000
         assert err_mm.mean() < 3.5, f"smplx face solve err {err_mm.mean():.2f} mm"
 
+    def test_stageii_wide_expressions_tiled(self, rng):
+        """E=20 > INLINE_MAX_EXTRAS: the solve rides the tiled streaming
+        kernel path end-to-end (the production smplx config is E=80,
+        reference support_data/conf/moshpp_conf.yaml:30 — same path, this
+        width keeps the CPU-interpret test tractable)."""
+        from moshpp_tpu.ops.pallas_marker_jac import INLINE_MAX_EXTRAS
+        E = 20
+        assert E > INLINE_MAX_EXTRAS
+        m = make_synthetic_model("smplx", num_verts=500, seed=14,
+                                 num_betas=16, num_shape_dirs=16 + E,
+                                 dof_per_hand=6)
+        M, F = 16, 4
+        vids = rng.choice(500, M, replace=False)
+        betas16 = (rng.normal(size=16) * 0.3).astype(np.float32)
+        exprs = (rng.normal(size=(F, E)) * 0.4).astype(np.float32)
+        can_v = np.asarray(m.v_template) + np.einsum(
+            "vcb,b->vc", np.asarray(m.shapedirs)[..., :16], betas16)
+        latents = can_v[vids]
+        idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+        coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+        poses = (rng.normal(size=(F, m.pose_dof)) * 0.08).astype(np.float32)
+        trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
+
+        def sim(p, t, e):
+            fb = jnp.concatenate([jnp.asarray(betas16), e])
+            return reconstruct_markers(lbs_forward(m, p, fb, t), idx, coeffs)
+
+        obs = np.asarray(jax.vmap(sim)(jnp.asarray(poses), jnp.asarray(trans),
+                                       jnp.asarray(exprs)))
+        from moshpp_tpu.priors import make_gmm_prior
+        prior = make_gmm_prior(dim=63, num_components=3, seed=15, scale=0.3)
+        opts = StageIIOptions(maxiter=40, smoothing_sweeps=1,
+                              optimize_face=True, optimize_fingers=True,
+                              num_expressions=E, expr_start=16)
+        prob = prepare_stageii_problem(m, betas16, latents, opts=opts)
+        assert prob.pallas_tables is not None
+        assert prob.pallas_tables.n_extra == E   # no XLA fallback anymore
+        res = mosh_stageii_solve(prob, opts, obs, np.ones((F, M), bool),
+                                 prior=prior, model_type="smplx")
+        assert res.extra.shape == (F, E)
+        err_mm = np.asarray(res.data_err) * 1000
+        assert err_mm.mean() < 3.5, f"tiled solve err {err_mm.mean():.2f} mm"
+
 
 class TestMatMocap:
     def test_mat_roundtrip(self, tmp_path, rng):

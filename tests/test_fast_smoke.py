@@ -72,16 +72,42 @@ def test_marker_kernels_trace(extras):
     assert rw.shape == (F, M, 3) and jw.shape == (F, M, 3, D)
 
 
-def test_wide_extras_fall_back_to_xla():
-    """E beyond MAX_KERNEL_EXTRAS (production smplx expressions = 80) must
-    route to the XLA assembly instead of unrolling an untenable kernel."""
+def test_wide_extras_ride_tiled_kernels():
+    """E beyond INLINE_MAX_EXTRAS (production smplx expressions = 80,
+    reference support_data/conf/moshpp_conf.yaml:30) streams through the
+    tiled kernel path — no silent XLA fallback — and the jaxprs build."""
+    from moshpp_tpu.ops.pallas_marker_jac import (INLINE_MAX_EXTRAS,
+                                                  marker_resid_and_wjac,
+                                                  marker_sim,
+                                                  marker_sim_and_jacobian)
+
+    E = 20
+    assert E > INLINE_MAX_EXTRAS
     opts = StageIIOptions(jac_backend="pallas", optimize_face=True,
-                          num_expressions=20, expr_start=16)
-    model, prob, opts = _tiny(opts, num_shape_dirs=36)
-    assert prob.pallas_tables is not None
-    assert prob.pallas_tables.n_extra == 0      # extras left out of tables
+                          num_expressions=E, expr_start=16)
+    model, prob, opts = _tiny(opts, num_shape_dirs=16 + E)
+    tables = prob.pallas_tables
+    assert tables is not None and tables.n_extra == E
     system = make_stageii_system(prob, opts, None, "smplh")
-    assert system.system_fn_batched is None     # n_extra != E -> XLA path
+    assert system.system_fn_batched is not None  # kernel path engaged
+
+    F, M = 8, tables.cf.shape[0] // 8
+    D = 3 + prob.sub_model.pose_dof + E
+    x = jax.ShapeDtypeStruct((F, D), jnp.float32)
+    obs = jax.ShapeDtypeStruct((F, M, 3), jnp.float32)
+    wrow = jax.ShapeDtypeStruct((F, M), jnp.float32)
+    sm = jax.eval_shape(
+        lambda xx: marker_sim(prob.sub_model, tables, xx, interpret=True), x)
+    assert sm.shape == (F, M, 3)
+    sim, jm = jax.eval_shape(
+        lambda xx: marker_sim_and_jacobian(prob.sub_model, tables, xx,
+                                           interpret=True), x)
+    assert sim.shape == (F, M, 3) and jm.shape == (F, M, 3, D)
+    rw, jw = jax.eval_shape(
+        lambda xx, oo, ww: marker_resid_and_wjac(prob.sub_model, tables, xx,
+                                                 oo, ww, interpret=True),
+        x, obs, wrow)
+    assert rw.shape == (F, M, 3) and jw.shape == (F, M, 3, D)
 
 
 def test_stageii_batched_system_traces():

@@ -210,6 +210,80 @@ def test_extra_dims_match_jacfwd(rng, mode):
     np.testing.assert_allclose(np.asarray(jw), jw_ref, atol=1e-5)
 
 
+def test_tiled_extras_match_jacfwd(rng):
+    """E > INLINE_MAX_EXTRAS routes to the tiled streaming path
+    (`_sim_and_jac_tiled`) — validate the production-width config class
+    (the reference defaults to num_expressions=80,
+    support_data/conf/moshpp_conf.yaml:30) against jacfwd.
+
+    E=20 exercises both the tiled dispatch and the EXTRA_CHUNK zero-padding
+    (20 = 2*8 + 4)."""
+    from moshpp_tpu.models.body_model import lbs_forward
+    from moshpp_tpu.ops.marker_transform import reconstruct_markers
+    from moshpp_tpu.ops import pallas_marker_jac as pmj
+
+    assert pmj.INLINE_MAX_EXTRAS == 16 and pmj.EXTRA_CHUNK == 8
+    E = 20
+    nb = 6
+    es = nb + 2                      # zeroed gap, as smplx expressions have
+    model = make_synthetic_model("smplh", num_verts=300, seed=4,
+                                 dof_per_hand=6, num_shape_dirs=es + E)
+    betas = (rng.normal(size=nb) * 0.3).astype(np.float32)
+    can_v = np.asarray(model.v_template) + np.einsum(
+        "vcb,b->vc", np.asarray(model.shapedirs)[..., :nb], betas)
+    vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+    vids = rng.choice(can_v.shape[0], 7, replace=False)
+    latents = (can_v[vids] + vn[vids] * 0.0095).astype(np.float32)
+    idx = select_frame_indices(jnp.asarray(can_v), jnp.asarray(latents))
+    coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents), idx)
+    cols = list(range(es, es + E))
+    tables = pmj.prepare_marker_jac_tables(model, idx, coeffs,
+                                           jnp.asarray(betas),
+                                           extra_cols=cols)
+    assert tables.n_extra == E
+    P = model.pose_dof
+    F = 3
+    x = jnp.asarray(np.concatenate([
+        rng.normal(size=(F, 3 + P)).astype(np.float32) * 0.3,
+        rng.normal(size=(F, E)).astype(np.float32) * 0.5], axis=1))
+
+    def bet(extra):
+        out = jnp.zeros(es + E, jnp.float32).at[:nb].set(jnp.asarray(betas))
+        return out.at[es:es + E].set(extra)
+
+    def sim_one(xi):
+        verts = lbs_forward(model, xi[3:3 + P], bet(xi[3 + P:]), xi[:3])
+        return reconstruct_markers(verts, idx, coeffs)
+
+    sim_r = jax.vmap(sim_one)(x)
+    jm_r = jax.vmap(jax.jacfwd(sim_one))(x)           # (F, M, 3, 3+P+E)
+
+    sim_p, jm_p = pmj.marker_sim_and_jacobian(model, tables, x,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(sim_p), np.asarray(sim_r),
+                               atol=3e-5)
+    scale = np.abs(np.asarray(jm_r)).max()
+    np.testing.assert_allclose(np.asarray(jm_p), np.asarray(jm_r),
+                               atol=3e-4 * max(scale, 1.0))
+
+    # sim-only (cost path) rides the tiled smalls/marker kernels too
+    sim_light = pmj.marker_sim(model, tables, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(sim_light), np.asarray(sim_p),
+                               atol=1e-6)
+
+    # weighted variant: folded weights propagate into the tiled extra cols
+    M = 7
+    obs = jnp.asarray(rng.normal(size=(F, M, 3)).astype(np.float32))
+    wrow = jnp.asarray(rng.uniform(0.5, 3.0, size=(F, M)).astype(np.float32))
+    wrow = wrow.at[1, 2].set(0.0)                 # a missing marker
+    rw, jw = pmj.marker_resid_and_wjac(model, tables, x, obs, wrow,
+                                       interpret=True)
+    rw_ref = (np.asarray(sim_p) - np.asarray(obs)) * np.asarray(wrow)[..., None]
+    jw_ref = np.asarray(jm_p) * np.asarray(wrow)[..., None, None]
+    np.testing.assert_allclose(np.asarray(rw), rw_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jw), jw_ref, atol=1e-5)
+
+
 def test_fused_extra_reduce_matches(rng):
     """FUSED_EXTRA_REDUCE=1 (one (3E, J, BF) sublane reduce per vertex) is
     numerically identical to the per-(e, b) reduction it replaces."""
