@@ -523,3 +523,63 @@ def batched_system_solve(system: GNSystem,
             s = inner_s
 
     return SolveResult(x=s.x, cost=s.f, iterations=s.it, converged=s.converged)
+
+
+def batched_system_solve_traced(system: GNSystem,
+                                x0: jnp.ndarray,
+                                aux,
+                                options: DoglegOptions = DoglegOptions(),
+                                param_mask: Optional[jnp.ndarray] = None,
+                                e_3=None,
+                                record_x: bool = False):
+    """`batched_system_solve` with a full per-iteration optimizer trace.
+
+    The debugging stand-in for the reference's live on-step visualization
+    (chmosh.py:235-245, 516-519 render the optimizer state at
+    verbosity > 1): on a headless TPU the equivalent inspection surface is
+    the per-iteration trajectory — cost, trust radius, accept/reject,
+    active-set size — dumped post-solve (`tools/profile_stageii.py
+    --trace` writes it as CSV, optionally with per-term energies).
+
+    Runs a `lax.scan` over exactly `options.maxiter` iterations with no
+    early exit and no straggler compaction, so every iteration is recorded
+    at a fixed shape (finished problems are frozen by the body exactly as
+    in the production loop — the trajectory up to convergence is
+    identical). Returns (SolveResult, trace) where trace holds
+    (maxiter, N) arrays `f`, `delta`, `accepted`, `active` (+ `x`
+    (maxiter, N, P) when `record_x`, for post-hoc per-term energy
+    evaluation). Debug tool: costs maxiter full iterations regardless of
+    convergence — do not use on the production path.
+    """
+    opts = options
+    e_3 = opts.e_3 if e_3 is None else e_3
+    N, P = x0.shape
+    if param_mask is None:
+        mask = jnp.ones((N, P), x0.dtype)
+    elif param_mask.ndim == 1:
+        mask = jnp.broadcast_to(param_mask[None, :].astype(x0.dtype),
+                                x0.shape)
+    else:
+        mask = param_mask.astype(x0.dtype)
+
+    body_batched = _body_batched_fn(system, opts, e_3)
+
+    with jax.default_matmul_precision("highest"):
+        f0 = (system.cost_fn_batched or jax.vmap(system.cost_fn))(x0, aux)
+        s0 = _init_state(x0, f0, opts)
+
+        def step(s, _):
+            f_prev, done_prev = s.f, s.done
+            s = body_batched(s, aux, mask)
+            rec = {"f": s.f, "delta": s.delta,
+                   "accepted": (~done_prev) & (s.f < f_prev),
+                   "active": ~done_prev}
+            if record_x:
+                rec["x"] = s.x
+            return s, rec
+
+        s, trace = jax.lax.scan(step, s0, None, length=opts.maxiter)
+
+    res = SolveResult(x=s.x, cost=s.f, iterations=s.it,
+                      converged=s.converged)
+    return res, trace

@@ -341,3 +341,41 @@ class TestPallasPCG:
                                    atol=1e-3)
         np.testing.assert_allclose(np.asarray(res_k.x), np.asarray(res_r.x),
                                    atol=1e-3)
+
+
+class TestTracedSolve:
+    def test_traced_matches_plain(self, rng):
+        """The traced debug solve must converge to the same optima as the
+        production loop and record a coherent per-iteration trajectory."""
+        from moshpp_tpu.solver.gauss_newton import (_residual_system,
+                                                    batched_system_solve,
+                                                    batched_system_solve_traced)
+        N, P = 16, 3
+        targets = jnp.asarray(rng.normal(size=(N, P)), jnp.float32)
+        sys = _residual_system(
+            lambda x, t: jnp.concatenate([x - t, 0.5 * (x[:1] ** 2)]),
+            "highest")
+        opts = DoglegOptions(maxiter=30, e_3=1e-10, delta_0=1.0)
+        x0 = jnp.zeros((N, P))
+        plain = batched_system_solve(sys, x0, targets, opts,
+                                     compact_buckets=())
+        traced, trace = batched_system_solve_traced(sys, x0, targets, opts,
+                                                    record_x=True)
+        np.testing.assert_allclose(np.asarray(traced.x), np.asarray(plain.x),
+                                   atol=1e-5)
+        assert trace["f"].shape == (30, N)
+        assert trace["x"].shape == (30, N, P)
+        # costs are monotone non-increasing (rejected steps keep f)
+        f = np.asarray(trace["f"])
+        assert np.all(f[1:] <= f[:-1] + 1e-6)
+        # the active flag matches the recorded iteration counts
+        active_iters = np.asarray(trace["active"]).sum(0)
+        np.testing.assert_array_equal(active_iters,
+                                      np.asarray(traced.iterations))
+        # x freezes bit-exactly once a problem is done (jnp.where carry)
+        done_at = np.asarray(traced.iterations)
+        for n in (0, N - 1):
+            xs = np.asarray(trace["x"][:, n])
+            tail = xs[done_at[n]:]
+            np.testing.assert_array_equal(
+                tail, np.broadcast_to(xs[done_at[n]], tail.shape))

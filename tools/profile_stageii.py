@@ -6,8 +6,16 @@ counts and per-term energies (from the solver's telemetry scan), and
 optionally isolated per-iteration microbenchmarks of the Gauss-Newton system
 assembly. TPU by default, --cpu for host runs.
 
+`--trace` additionally runs one full-system phase as a TRACED solve
+(solver.gauss_newton.batched_system_solve_traced) and writes a
+per-iteration CSV — cost, trust radius, accept/active fractions, and mean
+per-term energies — the headless stand-in for the reference's live on-step
+visualization (chmosh.py:235-245, 516-519) when debugging diverging
+solves.
+
 Usage: python tools/profile_stageii.py [--frames N] [--cpu] [--maxiter K]
        [--linear-solver pcg|cholesky] [--micro]
+       [--trace] [--trace-out FILE.csv]
 """
 
 import argparse
@@ -32,6 +40,10 @@ def main():
     ap.add_argument("--anchor-stride", type=int, default=8)
     ap.add_argument("--micro", action="store_true",
                     help="also time one fused GN iteration in isolation")
+    ap.add_argument("--trace", action="store_true",
+                    help="write a per-iteration optimizer trace CSV for one"
+                         " full-system phase")
+    ap.add_argument("--trace-out", default="/tmp/stageii_trace.csv")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +123,59 @@ def main():
     print(f"\nfirst call (incl compile): {compile_plus:.1f}s")
     print(f"TOTAL {dt:.2f}s -> {F/dt:.1f} frames/s | "
           f"mean marker err {err.mean()*1000:.3f} mm")
+
+    if args.trace:
+        import csv
+
+        from moshpp_tpu.pipeline.stageii import (make_stageii_system,
+                                                 rigid_init,
+                                                 stageii_term_energies)
+        from moshpp_tpu.solver.gauss_newton import (
+            DoglegOptions, batched_system_solve_traced)
+
+        system = make_stageii_system(prob, opts, prior, "smplh")
+        maskf = jnp.asarray(mask, jnp.float32)
+        n_obs = jnp.sum(maskf, axis=1)
+        aux = {"markers": jnp.asarray(obs), "mask": maskf,
+               "wt_data": opts.wt("data") * 46.0 / jnp.maximum(n_obs, 1.0),
+               "anneal": jnp.ones((F,)),
+               "wt_pose_scale": jnp.ones((F,)),
+               "velo_anchor": jnp.zeros((F, P)), "velo_on": jnp.zeros((F,)),
+               "extra_anchor": jnp.zeros((F, 0)),
+               "extra_on": jnp.zeros((F,))}
+        x0 = rigid_init(prob, opts, jnp.asarray(obs), maskf)
+        dl = DoglegOptions(maxiter=args.maxiter, delta_0=0.5,
+                           linear_solver=args.linear_solver,
+                           cg_iters=args.cg_iters)
+        res_t, trace = jax.jit(
+            lambda x, a: batched_system_solve_traced(
+                system, x, a, dl, e_3=1e-4, record_x=True))(x0, aux)
+        jax.block_until_ready(res_t.x)
+
+        en_fn = stageii_term_energies(prob, opts, prior, "smplh")
+        en_b = jax.jit(lambda xs: jax.tree.map(
+            jnp.mean, jax.vmap(en_fn)(xs, aux)))
+        terms = sorted(jax.eval_shape(en_b, trace["x"][0]).keys())
+        rows = []
+        for i in range(args.maxiter):
+            e = en_b(trace["x"][i])
+            rows.append({
+                "iter": i,
+                "active_frac": float(jnp.mean(trace["active"][i])),
+                "accept_frac": float(jnp.mean(trace["accepted"][i])),
+                "mean_f": float(jnp.mean(trace["f"][i])),
+                "mean_delta": float(jnp.mean(trace["delta"][i])),
+                **{t: float(e[t]) for t in terms},
+            })
+        with open(args.trace_out, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"\nper-iteration trace ({args.maxiter} iters x {F} frames) "
+              f"-> {args.trace_out}")
+        for r in rows[:3] + rows[-2:]:
+            print("  " + "  ".join(f"{k}={v:.3g}" if k != "iter"
+                                   else f"it={v}" for k, v in r.items()))
 
     if args.micro:
         from moshpp_tpu.pipeline.stageii import make_stageii_system
