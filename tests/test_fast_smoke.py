@@ -163,6 +163,16 @@ def test_dogleg_solver_traces():
                 compact_buckets=(2, 8)), x0, aux)
         assert res.x.shape == (N, D)
 
+    # the traced debug variant (profile_stageii --trace) shares the body;
+    # pin its scan plumbing and trace-record shapes
+    from moshpp_tpu.solver.gauss_newton import batched_system_solve_traced
+    res, trace = jax.eval_shape(
+        lambda xx, aa: batched_system_solve_traced(
+            sysm, xx, aa, DoglegOptions(maxiter=3), record_x=True), x0, aux)
+    assert res.x.shape == (N, D)
+    assert trace["f"].shape == (3, N) and trace["x"].shape == (3, N, D)
+    assert trace["accepted"].dtype == jnp.bool_
+
 
 def test_direction_kernels_trace():
     from moshpp_tpu.solver.pallas_pcg import (dogleg_direction_batched,
