@@ -11,12 +11,29 @@ sweeps, maxiter=100, the reference's stage-ii configuration).
 Prints one JSON line: frames/sec/chip vs the 5k north-star
 (BASELINE.json). The reference implementation solves these frames
 sequentially on CPU at O(1) fps.
+
+Timing protocol: median of BENCH_REPEATS (default 5) fully-synced solves
+after a compile warmup — the tunneled chip shows ~4% run-to-run variance,
+so a single sample cannot resolve a few-% regression. The detail block
+additionally reports a measured hot-step roofline: the fused GN system
+assembly (marker Jacobian kernels + normal-equation contraction) and the
+fused dogleg-direction kernel are timed in isolation at the production
+shape, and compared against an explicit per-iteration HBM-traffic model,
+giving both bytes/s-vs-HBM-peak and FLOP/s-vs-MXU-peak utilizations so the
+JSON states how much headroom remains and on which axis (measured r4: the
+assembly runs at ~7% of HBM peak and <1% of bf16 FLOP peak — the step is
+bound by Pallas kernel VPU time + the small-GEMM NE contraction, not by
+memory, i.e. real headroom exists on both axes).
 """
 
 import json
 import time
 
 import numpy as np
+
+# TPU v5e (v5 lite) public specs: 819 GB/s HBM bandwidth, 197 bf16 TFLOP/s.
+HBM_PEAK_GB_S = 819.0
+BF16_PEAK_TFLOP_S = 197.0
 
 
 def main():
@@ -83,10 +100,15 @@ def main():
     res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
     jax.block_until_ready(res.trans)
 
-    t0 = time.perf_counter()
-    res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
-    jax.block_until_ready(res.trans)
-    dt = time.perf_counter() - t0
+    # median-of-N timing: the tunneled chip shows ~4% run-to-run variance
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
+        jax.block_until_ready(res.trans)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     fps = FRAMES / dt
     err_mm = float(np.mean(np.asarray(res.data_err))) * 1000.0
@@ -94,15 +116,37 @@ def main():
     # independent accuracy metric (outside the timed region): mean
     # vertex-to-vertex surface distance between the solved body and the
     # ground-truth body on a frame subsample — parameter recovery, not the
-    # optimized marker objective, so it cannot flatter the solver
+    # optimized marker objective, so it cannot flatter the solver.
+    # Decomposed over OBSERVED vs UNOBSERVED surface: the 46 markers sit on
+    # the body, so the ~48 hand-PCA dofs are only constrained through the
+    # pose prior — hand v2v measures the prior's null-space wander, not
+    # solver quality; body v2v is the number that must be sub-mm.
     sub = np.linspace(0, FRAMES - 1, 64).astype(int)
     fwd = jax.jit(jax.vmap(
         lambda p, t: lbs_forward(model, p, jnp.asarray(betas), t)))
     v_true = fwd(jnp.asarray(poses[sub]), jnp.asarray(trans[sub]))
     v_sol = fwd(jnp.asarray(np.asarray(res.pose)[sub]),
                 jnp.asarray(np.asarray(res.trans)[sub]))
-    v2v_mm = float(jnp.mean(
-        jnp.linalg.norm(v_sol - v_true, axis=-1))) * 1000.0
+    v2v = jnp.linalg.norm(v_sol - v_true, axis=-1)          # (64, V)
+    n_body_joints = 1 + model.info.body_pose_dof // 3
+    dom_joint = np.argmax(np.asarray(model.weights), axis=1)
+    body_vert = dom_joint < n_body_joints
+    v2v_mm = float(jnp.mean(v2v)) * 1000.0
+    v2v_body_mm = float(jnp.mean(v2v[:, body_vert])) * 1000.0
+    v2v_hand_mm = float(jnp.mean(v2v[:, ~body_vert])) * 1000.0
+
+    # The roofline section compiles two standalone programs (the fused
+    # assembly + the direction kernel outside the solve loop) — several
+    # minutes cold, cached afterwards. MOSHPP_BENCH_ROOFLINE=0 skips it;
+    # any failure degrades to an error note instead of killing the bench.
+    if os.environ.get("MOSHPP_BENCH_ROOFLINE", "1") == "1":
+        try:
+            roofline = _roofline(jax, jnp, prob, opts, prior, obs, mask,
+                                 FRAMES, MARKERS, P, model)
+        except Exception as e:  # noqa: BLE001 - report, don't kill the bench
+            roofline = {"error": f"{type(e).__name__}: {e}"[:200]}
+    else:
+        roofline = {"skipped": True}
 
     print(json.dumps({
         "metric": "stageii_frames_per_sec_per_chip",
@@ -113,10 +157,104 @@ def main():
             "frames": FRAMES, "markers": MARKERS, "pose_dof": P,
             "mean_marker_err_mm": round(err_mm, 4),
             "v2v_surface_err_mm": round(v2v_mm, 4),
+            "v2v_body_mm": round(v2v_body_mm, 4),
+            "v2v_hands_mm": round(v2v_hand_mm, 4),
             "solve_seconds": round(dt, 3),
+            "solve_seconds_all": [round(t, 3) for t in times],
             "device": str(jax.devices()[0]),
+            "roofline": roofline,
         },
     }))
+
+
+def _roofline(jax, jnp, prob, opts, prior, obs, mask, F, M, P, model):
+    """Measured hot-step roofline at the production shape.
+
+    Times the two programs that dominate a dogleg iteration in isolation —
+    (1) the fused GN system assembly (marker-Jacobian Pallas kernels + the
+    normal-equation contraction) and (2) the fused dogleg-direction kernel —
+    and compares each against an explicit HBM-traffic model. The traffic
+    model (f32 bytes, per iteration over all F frames):
+
+      assembly:  smalls FK streams write+read ((9+3+27+9+27)*J + feat) ...
+                 jm write (F*3M*D), jm read for the NE einsum (counted
+                 twice: B and g contractions), B write (F*D^2)
+      direction: B read once (resident in VMEM across all CG iterations,
+                 solver/pallas_pcg.py) + vector I/O
+
+    FLOPs: NE contraction 2*F*3M*D^2 dominates assembly; direction is
+    cg_iters * 2*F*D^2 VPU FMAs. The workload is HBM-bound (arithmetic
+    intensity ~13 FLOP/byte < v5e's ~240 balance point at f32), so
+    bytes/s vs HBM peak is the figure of merit.
+    """
+    from moshpp_tpu.pipeline.stageii import make_stageii_system, rigid_init
+    from moshpp_tpu.solver.pallas_pcg import dogleg_direction_batched
+
+    D = 3 + P
+    J = model.num_joints
+    featN = (J - 1) * 9
+
+    system = make_stageii_system(prob, opts, prior, "smplh")
+    sys_b = system.system_fn_batched or jax.vmap(system.system_fn)
+    obs_j = jnp.asarray(obs, jnp.float32)
+    maskf = jnp.asarray(mask, jnp.float32)
+    n_obs = jnp.sum(maskf, axis=1)
+    aux = {"markers": obs_j, "mask": maskf,
+           "wt_data": opts.wt("data") * 46.0 / jnp.maximum(n_obs, 1.0),
+           "anneal": jnp.ones((F,), jnp.float32),
+           "wt_pose_scale": jnp.full((F,), 10.0, jnp.float32),
+           "velo_anchor": jnp.zeros((F, P), jnp.float32),
+           "velo_on": jnp.zeros((F,), jnp.float32),
+           "extra_anchor": jnp.zeros((F, 0), jnp.float32),
+           "extra_on": jnp.zeros((F,), jnp.float32)}
+    x0 = rigid_init(prob, opts, obs_j, maskf)
+
+    asm = jax.jit(lambda x, a: sys_b(x, a))
+    out = jax.block_until_ready(asm(x0, aux))
+    g, B = out[1], out[2]
+
+    def timeit(fn, *args, n=10):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n
+
+    t_asm = timeit(asm, x0, aux)
+
+    pmask = jnp.ones((F, D), jnp.float32)
+    delta = jnp.full((F,), 0.5, jnp.float32)
+    plin = jnp.zeros((F, D), jnp.float32)
+    dirk = jax.jit(lambda g_, B_, p_, m_, d_: dogleg_direction_batched(
+        g_, B_, p_, m_, d_, iters=opts.cg_iters, damping=1e-8))
+    t_dir = timeit(dirk, g, B, plin, pmask, delta)
+
+    jm_b = F * 3 * M * D * 4
+    b_b = F * D * D * 4
+    smalls_b = ((9 + 3 + 27 + 9 + 27) * J + featN) * F * 4
+    asm_bytes = 2 * smalls_b + jm_b + 2 * jm_b + b_b
+    dir_bytes = b_b + 6 * F * D * 4
+    asm_gflop = (2 * F * 3 * M * D * (D + 2)) / 1e9
+    dir_gflop = (opts.cg_iters * 2 * F * D * D) / 1e9
+
+    def row(t, by, gf):
+        return {"ms": round(t * 1e3, 3),
+                "model_hbm_mb": round(by / 2**20, 1),
+                "gflop": round(gf, 2),
+                "achieved_gb_s": round(by / t / 1e9, 1),
+                "hbm_utilization": round(by / t / 1e9 / HBM_PEAK_GB_S, 3),
+                "achieved_tflop_s": round(gf / 1e3 / t, 2)}
+
+    return {
+        "hbm_peak_gb_s": HBM_PEAK_GB_S,
+        "bf16_peak_tflop_s": BF16_PEAK_TFLOP_S,
+        "shape": {"F": F, "D": D, "3M": 3 * M, "J": J,
+                  "cg_iters": opts.cg_iters},
+        "system_assembly": row(t_asm, asm_bytes, asm_gflop),
+        "dogleg_direction": row(t_dir, dir_bytes, dir_gflop),
+        "step_ms": round((t_asm + t_dir) * 1e3, 3),
+    }
 
 
 def _backend_alive(timeout_s=90):
