@@ -415,8 +415,11 @@ def _extras_tangent_kernel(q_ref, grot_ref, dtrelE_ref, djntE_ref, ancT_ref,
     """
     Q = [[q_ref[a * 3 + b] for b in range(3)] for a in range(3)]
     G_rot = [[grot_ref[a * 3 + b] for b in range(3)] for a in range(3)]
-    dtrelE = dtrelE_ref[:]                                     # (J, 3*EC)
-    djntE = djntE_ref[:]
+    # chunk tables arrive chunk-major (1, J, 3*EC): Mosaic requires the
+    # last-two block dims to be (8, 128)-divisible or full, and (J, 3*EC)
+    # blocks of a (J, 3*E) array satisfy neither on real hardware
+    dtrelE = dtrelE_ref[0]                                     # (J, 3*EC)
+    djntE = djntE_ref[0]
     BFk = Q[0][0].shape[-1]
     Y = [sum(Q[a][b] * dtrelE[:, e * 3 + b:e * 3 + b + 1] for b in range(3))
          for e in range(n_chunk) for a in range(3)]            # (J, BF) each
@@ -944,9 +947,15 @@ def _tiled_extra_inputs(tables: MarkerJacTables, x_pad: jnp.ndarray,
     nec = -(-E // EC)
     pad = nec * EC - E
     # zero-padded direction chunks -> the padded Jacobian columns come out
-    # exactly zero and are sliced off after the kernel
-    dtrelE_p = jnp.pad(tables.dtrelE, ((0, 0), (0, 3 * pad)))
-    djntE_p = jnp.pad(tables.djntE, ((0, 0), (0, 3 * pad)))
+    # exactly zero and are sliced off after the kernel. Chunk-major
+    # (nec, J, 3*EC) layout: the per-step block is then (1, J, 3*EC) with
+    # FULL last-two dims, which Mosaic accepts for any EC (a (J, 3*EC)
+    # block of a (J, 3*E) array fails the (8, 128)-divisibility rule).
+    J_ = tables.dtrelE.shape[0]
+    dtrelE_p = jnp.pad(tables.dtrelE, ((0, 0), (0, 3 * pad))) \
+        .reshape(J_, nec, 3 * EC).transpose(1, 0, 2)
+    djntE_p = jnp.pad(tables.djntE, ((0, 0), (0, 3 * pad))) \
+        .reshape(J_, nec, 3 * EC).transpose(1, 0, 2)
     dvE_p = jnp.pad(tables.dvE, ((0, 3 * pad), (0, 0)))
     return jshift, vpshift, dtrelE_p, djntE_p, dvE_p, nec
 
@@ -1345,9 +1354,9 @@ def _sim_and_jac_tiled(model: SurfaceModel,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, J, BF), lambda fi, ei: (0, 0, fi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 3 * EC), lambda fi, ei: (0, ei),
+            pl.BlockSpec((1, J, 3 * EC), lambda fi, ei: (ei, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 3 * EC), lambda fi, ei: (0, ei),
+            pl.BlockSpec((1, J, 3 * EC), lambda fi, ei: (ei, 0, 0),
                          memory_space=pltpu.VMEM),
             cspec(),
         ],

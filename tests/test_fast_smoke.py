@@ -263,3 +263,56 @@ def test_no_shadowing_duplicate_definitions():
                                 f"(first at :{seen[node.name]})")
                 seen[node.name] = node.lineno
     assert not dups, "\n".join(dups)
+
+
+@pytest.mark.parametrize("extras", [0, 4, 20])
+def test_marker_kernels_tpu_lower(extras):
+    """AOT-lower the REAL (non-interpret) kernels for the TPU target on the
+    CPU host (`lowering_platforms=("tpu",)`). Mosaic's structural rules —
+    block last-two-dims (8, 128)-divisible or full, static lane slicing —
+    are enforced at this stage and are invisible to interpret-mode tests:
+    the tiled-extras chunk tables shipped with a (J, 3*EC) block that every
+    CPU test passed and the first real-TPU run rejected. This pins all
+    three kernel entry points per extras regime (inline and tiled)."""
+    from moshpp_tpu.ops.pallas_marker_jac import (marker_resid_and_wjac,
+                                                  marker_sim,
+                                                  marker_sim_and_jacobian)
+
+    if extras:
+        opts = StageIIOptions(jac_backend="pallas", optimize_dynamics=True,
+                              num_dmpls=extras)
+        model, prob, opts = _tiny(opts, num_shape_dirs=16 + extras)
+    else:
+        model, prob, opts = _tiny()
+    tables = prob.pallas_tables
+    assert tables is not None and tables.n_extra == extras
+    F, M = 8, tables.cf.shape[0] // 8
+    D = 3 + prob.sub_model.pose_dof + extras
+    x = jax.ShapeDtypeStruct((F, D), jnp.float32)
+    obs = jax.ShapeDtypeStruct((F, M, 3), jnp.float32)
+    wrow = jax.ShapeDtypeStruct((F, M), jnp.float32)
+
+    def lower(fn, *args):
+        jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+    lower(lambda xx: marker_sim(prob.sub_model, tables, xx), x)
+    lower(lambda xx: marker_sim_and_jacobian(prob.sub_model, tables, xx), x)
+    lower(lambda xx, oo, ww: marker_resid_and_wjac(
+        prob.sub_model, tables, xx, oo, ww), x, obs, wrow)
+
+
+def test_direction_kernels_tpu_lower():
+    """Same TPU-target AOT lowering pin for the fused direction kernels."""
+    from moshpp_tpu.solver.pallas_pcg import (dogleg_direction_batched,
+                                              pcg_direction_batched)
+
+    N, D = 8, 117
+    g = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    B = jax.ShapeDtypeStruct((N, D, D), jnp.float32)
+    v = jax.ShapeDtypeStruct((N, D), jnp.float32)
+    d = jax.ShapeDtypeStruct((N,), jnp.float32)
+    jax.jit(lambda *a: dogleg_direction_batched(
+        *a, iters=4, damping=1e-4)).trace(
+        g, B, v, v, d).lower(lowering_platforms=("tpu",))
+    jax.jit(lambda *a: pcg_direction_batched(*a, iters=4)).trace(
+        g, B, v).lower(lowering_platforms=("tpu",))
