@@ -61,7 +61,12 @@ BF = 128              # frame block = one full lane tile
 # A/B proves it (STATUS.md "Gaps").
 import os as _os
 
-FUSED_EXTRA_REDUCE = _os.environ.get("MOSHPP_FUSED_EXTRA_REDUCE", "0") == "1"
+# Default ON since the round-4 TPU A/B (tools/bench_variants.py): fusing the
+# 3E per-(e,b) extras reductions into one (3E, J, BF) sublane reduce measured
+# +11% on smplx+10expr (3,745 -> 4,168 fps, identical 0.3977 mm) and lifted
+# smplh+8dmpl to 92% of body-only (4,520.5 fps); numerics pinned identical in
+# interpret mode (tests/test_pallas_jac.py). Opt out with =0 for A/Bs.
+FUSED_EXTRA_REDUCE = _os.environ.get("MOSHPP_FUSED_EXTRA_REDUCE", "1") == "1"
 
 # Widest extras (dmpl/expression) block the marker kernels unroll INLINE —
 # each extra dim adds ~9 unrolled VPU row-ops per vertex plus a (3, J, BF)
