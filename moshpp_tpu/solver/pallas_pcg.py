@@ -30,8 +30,11 @@ def _vmem_params(D: int):
     """Raise the scoped-VMEM limit when the double-buffered (D, D, BF) B
     block outgrows the 16 MB default (D=117 fits; extras-augmented D=125
     needs 16.25 MB). v5e/v5p have 128 MB physical VMEM; budget the two B
-    buffers plus ~2 MB of vectors/temporaries, floor at the default."""
-    need = 2 * D * D * BF * 4 + (2 << 20)
+    buffers plus the double-buffered (D, BF) vector streams (g, plin, mask,
+    3 outputs) and ~2 MB of temporaries, floor at the default. (A flat 2 MB
+    slack was 102 KB short at D=206 — the production smplx E=80 config —
+    and the remote compiler hard-fails on scoped-vmem stack OOM.)"""
+    need = 2 * D * D * BF * 4 + 12 * D * BF * 4 + (2 << 20)
     if need <= (16 << 20):
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 << 20))
