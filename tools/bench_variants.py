@@ -122,7 +122,9 @@ def main():
         "fps": round(FRAMES / dt, 1), "err_mm": round(err_mm, 4),
         "times": [round(t, 4) for t in times],
         "model_type": model_type, "overrides": base,
-        "fused_extra_reduce": os.environ.get("MOSHPP_FUSED_EXTRA_REDUCE", "0"),
+        "fused_extra_reduce": __import__(
+            "moshpp_tpu.ops.pallas_marker_jac", fromlist=["x"]
+        ).FUSED_EXTRA_REDUCE,   # module truth (env default is ON since r4)
     }))
 
 
