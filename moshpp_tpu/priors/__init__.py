@@ -3,6 +3,7 @@ from moshpp_tpu.priors.gmm import (
     gmm_prior_residual,
     make_gmm_prior,
     load_gmm_prior,
+    sample_gmm_prior,
 )
 from moshpp_tpu.priors.mahalanobis import (
     MahalanobisPrior,

@@ -379,3 +379,29 @@ class TestTracedSolve:
             tail = xs[done_at[n]:]
             np.testing.assert_array_equal(
                 tail, np.broadcast_to(xs[done_at[n]], tail.shape))
+
+
+class TestGMMPriorSampling:
+    def test_samples_score_well_under_the_prior(self, rng):
+        """sample_gmm_prior must draw from the modeled mixture: sampled
+        poses score far better under the prior residual than poses from an
+        unrelated distribution (the round-4 stage-i harness bug)."""
+        from moshpp_tpu.priors import (gmm_prior_residual, make_gmm_prior,
+                                       sample_gmm_prior)
+        prior = make_gmm_prior(dim=12, num_components=4, seed=7, scale=0.3)
+        xs = sample_gmm_prior(prior, rng, 64)
+        assert xs.shape == (64, 12) and np.all(np.isfinite(xs))
+        en = lambda arr: float(np.mean([
+            np.sum(np.asarray(gmm_prior_residual(prior, jnp.asarray(x))) ** 2)
+            for x in arr]))
+        e_samples = en(xs)
+        # a wide unrelated distribution scores far worse; and the samples'
+        # energy is near the mixture's expected mahalanobis (~dim/2 + const)
+        e_far = en(rng.normal(size=(64, 12)).astype(np.float32))
+        assert e_samples < 0.4 * e_far, (e_samples, e_far)
+        assert e_samples < 3.0 * 12, e_samples
+        # first moment: sample mean near the mixture mean
+        w = np.exp(-np.asarray(prior.sqrt_neg_log_w) ** 2)
+        mix_mean = (w / w.sum()) @ np.asarray(prior.means)
+        big = sample_gmm_prior(prior, rng, 2000)
+        assert np.linalg.norm(big.mean(0) - mix_mean) < 0.12

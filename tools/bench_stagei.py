@@ -45,7 +45,7 @@ def main():
                                                  select_frame_indices)
     from moshpp_tpu.ops.surface import vertex_normals
     from moshpp_tpu.pipeline.stagei import StageIOptions, mosh_stagei_solve
-    from moshpp_tpu.priors import make_gmm_prior
+    from moshpp_tpu.priors import make_gmm_prior, sample_gmm_prior
 
     rng = np.random.default_rng(0)
     model = make_synthetic_model("smplh", num_verts=args.verts, seed=3,
@@ -64,7 +64,15 @@ def main():
     coeffs = marker_coeffs(jnp.asarray(can_v), jnp.asarray(latents_gt), idx)
 
     F, P = args.frames, model.pose_dof
-    poses = (rng.normal(size=(F, P)) * 0.15).astype(np.float32)
+    # ground-truth body poses are drawn FROM the prior's mixture: real
+    # stage-i frames come from the same distribution the (AMASS-trained)
+    # prior models. An unrelated random pose distribution makes the prior
+    # adversarial and the objective's optimum moves ~20 mm off the truth —
+    # that measures the harness, not the solver.
+    poses = np.zeros((F, P), np.float32)
+    poses[:, 3:66] = sample_gmm_prior(prior, rng, F)
+    poses[:, :3] = rng.normal(size=(F, 3)) * 0.3          # free root
+    poses[:, 66:] = rng.normal(size=(F, P - 66)) * 0.05   # mild hand pca
     trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
 
     def sim(p, t):
