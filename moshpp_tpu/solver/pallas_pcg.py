@@ -40,6 +40,29 @@ def _vmem_params(D: int):
     return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 << 20))
 
 
+# The CG recurrence compiles to O(iters * D) Mosaic ops when python-
+# unrolled. Narrow systems keep the unroll (Mosaic pipelines it best:
+# 3.3 ms vs 5.1 ms looped at D=117/iters=24/F=4096). Past ~D=160 the
+# unrolled program sizes explode compile time (the smplx E=80 width D=206
+# took ~45-60 min of remote compile per phase program); wide systems run
+# the same body under lax.fori_loop (compile O(D)) at ~1.5x direction
+# runtime. The `active` flag is carried as f32 in the looped form: an i1
+# vector in a Mosaic loop carry crashes the layout pass
+# ("scf.yield ... in_layout" internal error).
+CG_LOOP_MIN_D = 161
+
+
+def _cg_iterate(cg_body, iters, D, x, r, z, p, rz, active):
+    if D < CG_LOOP_MIN_D:
+        carry = (x, r, z, p, rz, active.astype(jnp.float32))
+        for _ in range(iters):
+            carry = cg_body(None, carry)
+        return carry[:5]
+    out = jax.lax.fori_loop(0, iters, cg_body,
+                            (x, r, z, p, rz, active.astype(jnp.float32)))
+    return out[:5]
+
+
 def _pcg_kernel(g_ref, b_ref, plin_ref, p_ref, ok_ref, *, iters, D):
     """One 128-frame block: Jacobi-PCG on B p = -g, warm-started from plin.
 
@@ -77,10 +100,11 @@ def _pcg_kernel(g_ref, b_ref, plin_ref, p_ref, ok_ref, *, iters, D):
     rz0 = jnp.maximum(rz, 1e-30)
     active = rz > 0
 
-    for _ in range(iters):
+    def cg_body(_, carry):
+        x, r, z, p, rz, active_f = carry
         Bp = matvec(p)
         pBp = rdot(p, Bp)
-        step_ok = active & (pBp > 1e-30) & (rz > 1e-12 * rz0)
+        step_ok = (active_f > 0) & (pBp > 1e-30) & (rz > 1e-12 * rz0)
         alpha = jnp.where(step_ok, rz / jnp.where(pBp > 0, pBp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Bp
@@ -89,7 +113,9 @@ def _pcg_kernel(g_ref, b_ref, plin_ref, p_ref, ok_ref, *, iters, D):
         beta = jnp.where(step_ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = jnp.where(step_ok, z + beta * p, p)
         rz = jnp.where(step_ok, rz_new, rz)
-        active = step_ok
+        return x, r, z, p, rz, step_ok.astype(jnp.float32)
+
+    x, r, z, p, rz = _cg_iterate(cg_body, iters, D, x, r, z, p, rz, active)
 
     ok = (rdot(g, x) < 0) & jnp.all(jnp.isfinite(x), axis=0, keepdims=True)
     p_ref[:, :] = jnp.where(ok, x, jnp.zeros_like(x))
@@ -152,10 +178,11 @@ def _direction_kernel(g_ref, b_ref, plin_ref, mask_ref, delta_ref,
     rz0 = jnp.maximum(rz, 1e-30)
     active = rz > 0
 
-    for _ in range(iters):
+    def cg_body(_, carry):
+        x, r, z, p, rz, active_f = carry
         Bp = matvec(p)
         pBp = rdot(p, Bp)
-        step_ok = active & (pBp > 1e-30) & (rz > 1e-12 * rz0)
+        step_ok = (active_f > 0) & (pBp > 1e-30) & (rz > 1e-12 * rz0)
         alpha = jnp.where(step_ok, rz / jnp.where(pBp > 0, pBp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Bp
@@ -164,7 +191,9 @@ def _direction_kernel(g_ref, b_ref, plin_ref, mask_ref, delta_ref,
         beta = jnp.where(step_ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = jnp.where(step_ok, z + beta * p, p)
         rz = jnp.where(step_ok, rz_new, rz)
-        active = step_ok
+        return x, r, z, p, rz, step_ok.astype(jnp.float32)
+
+    x, r, z, p, rz = _cg_iterate(cg_body, iters, D, x, r, z, p, rz, active)
 
     ok = (rdot(g, x) < 0) & jnp.all(jnp.isfinite(x), axis=0, keepdims=True)
     p_gn = jnp.where(ok, x, jnp.zeros_like(x))

@@ -199,8 +199,13 @@ def test_direction_kernels_trace_extras_width():
     from moshpp_tpu.solver.pallas_pcg import (_vmem_params,
                                               dogleg_direction_batched)
 
-    assert _vmem_params(117) is None
+    assert _vmem_params(96) is None           # two B buffers fit the default
+    assert _vmem_params(117) is not None      # vector streams push D=117 over
     assert _vmem_params(125) is not None
+    # the budget must cover the 102 KB-over-estimate class caught at D=206
+    # (smplx E=80): B buffers + vector streams + slack
+    need_206 = _vmem_params(206).vmem_limit_bytes
+    assert need_206 > 2 * 206 * 206 * 128 * 4
     N, D = 16, 125
     g = jax.ShapeDtypeStruct((N, D), jnp.float32)
     B = jax.ShapeDtypeStruct((N, D, D), jnp.float32)
