@@ -8,7 +8,7 @@ float or scaled-int16 layout. Reading returns all-frames point arrays in one
 shot (no per-frame Python loop); a native C++ fast path for bulk decode lives
 in `native/` and is used automatically when built.
 
-Intel (85), DEC (86) and MIPS (87) processor float formats are handled for
+Intel (84), DEC (85) and MIPS (86) processor float formats are handled for
 reading; writing always emits Intel float format.
 """
 

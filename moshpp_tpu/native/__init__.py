@@ -16,6 +16,11 @@ from typing import Optional
 
 import numpy as np
 
+# prebuilt .so shipped inside an installed wheel (must be built WITHOUT
+# -march=native to stay portable); on-demand builds go to the host-keyed
+# cache dir below instead, so a .so compiled with -march=native on one CPU
+# can never SIGILL a different host sharing the same package directory
+# (shared/NFS installs, container images moved across machine types).
 _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "libmoshpp_c3d.so")
 # source lives in the repo checkout (<repo>/native/c3d_native.cc); absent in
@@ -26,19 +31,45 @@ _lib = None
 _load_attempted = False
 
 
-def _try_build() -> bool:
+def _host_lib_path() -> str:
+    """Per-host build location keyed on the CPU (cpuinfo model + flags)."""
+    import hashlib
+    model = flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if not flags and ln.startswith("flags"):
+                    flags = ln.strip()
+                if not model and ln.startswith("model name"):
+                    model = ln.strip()
+                if flags and model:
+                    break
+    except OSError:
+        pass
+    key = hashlib.sha1(f"{model}|{flags}".encode()).hexdigest()[:10]
+    d = os.environ.get("MOSHPP_NATIVE_CACHE",
+                       os.path.join(tempfile.gettempdir(),
+                                    f"moshpp_tpu_native_{key}"))
+    return os.path.join(d, "libmoshpp_c3d.so")
+
+
+def _try_build(dst: str) -> bool:
     """Best-effort on-demand compile of the native codec (sub-second with
-    g++). Writes via a temp file + atomic rename so concurrent test workers
-    can't observe a half-written .so. Opt out with MOSHPP_NO_NATIVE_BUILD=1."""
+    g++) into the host-keyed cache. Writes via a temp file + atomic rename so
+    concurrent test workers can't observe a half-written .so. Opt out with
+    MOSHPP_NO_NATIVE_BUILD=1."""
     if os.environ.get("MOSHPP_NO_NATIVE_BUILD") == "1":
         return False
     src = os.path.abspath(_SRC_PATH)
     cxx = os.environ.get("CXX") or shutil.which("g++") or shutil.which("c++")
     if not os.path.exists(src) or cxx is None:
         return False
-    fd, tmp = tempfile.mkstemp(suffix=".so",
-                               dir=os.path.dirname(_LIB_PATH))
-    os.close(fd)
+    try:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(dst))
+        os.close(fd)
+    except OSError:
+        return False
     try:
         rc = subprocess.run(
             [cxx, "-O3", "-march=native", "-fPIC", "-fopenmp", "-std=c++17",
@@ -46,7 +77,7 @@ def _try_build() -> bool:
             capture_output=True, timeout=120).returncode
         if rc != 0:
             return False
-        os.replace(tmp, _LIB_PATH)
+        os.replace(tmp, dst)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -60,10 +91,16 @@ def _load():
     if _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH) and not _try_build():
+    host_so = _host_lib_path()
+    path = None
+    if os.path.exists(host_so) or _try_build(host_so):
+        path = host_so
+    elif os.path.exists(_LIB_PATH):   # portable prebuilt from a wheel
+        path = _LIB_PATH
+    if path is None:
         return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
         lib.moshpp_c3d_decode_points.restype = ctypes.c_int
         lib.moshpp_c3d_decode_points.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,

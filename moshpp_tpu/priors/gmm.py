@@ -138,9 +138,17 @@ def sample_gmm_prior(prior: MaxMixturePrior, rng: np.random.Generator,
     means = np.asarray(prior.means, np.float64)
     chols = np.asarray(prior.chols, np.float64)
     K, D = means.shape
-    # sqrt_neg_log_w stores sqrt(-log w~) of normalizer-scaled weights; for
-    # sampling, plain relative weights are recovered from it
-    w = np.exp(-np.asarray(prior.sqrt_neg_log_w, np.float64) ** 2)
+    # sqrt_neg_log_w stores sqrt(-log w~) of weights divided by the
+    # PER-COMPONENT normalizer const * sqrdet_k / sqrdet_min (_from_moments,
+    # mirroring gmm_prior_ch.py:126-130). Recover the plain mixture weights
+    # by multiplying the per-component factor back: sqrdet_k = sqrt(det cov_k)
+    # = 1/|det L_k| = 1/prod(diag(chols[k])) since chols are precision
+    # factors. The constant factors (const, sqrdet_min) cancel in the
+    # normalization below.
+    w_stored = np.exp(-np.asarray(prior.sqrt_neg_log_w, np.float64) ** 2)
+    sqrdet = 1.0 / np.abs(
+        np.prod(np.diagonal(chols, axis1=1, axis2=2), axis=1))
+    w = w_stored * sqrdet
     w = w / w.sum()
     comps = rng.choice(K, size=n, p=w)
     z = rng.standard_normal((n, D))

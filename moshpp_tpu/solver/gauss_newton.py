@@ -569,10 +569,15 @@ def batched_system_solve_traced(system: GNSystem,
         s0 = _init_state(x0, f0, opts)
 
         def step(s, _):
-            f_prev, done_prev = s.f, s.done
+            x_prev, done_prev = s.x, s.done
             s = body_batched(s, aux, mask)
+            # the body's accept decision moves x (a rho-accepted step with
+            # p == 0 cannot happen: pred ~ 0 forces rho ~ 0 -> reject), so
+            # x != x_prev reproduces it exactly — unlike a cost-decrease
+            # test, which miscounts zero-improvement accepts near
+            # convergence
             rec = {"f": s.f, "delta": s.delta,
-                   "accepted": (~done_prev) & (s.f < f_prev),
+                   "accepted": (~done_prev) & jnp.any(s.x != x_prev, axis=-1),
                    "active": ~done_prev}
             if record_x:
                 rec["x"] = s.x

@@ -24,9 +24,24 @@ def jax_cache_dir(base: str = "/tmp/moshpp_tpu_jax_cache") -> str:
     try:
         import jaxlib
         ver = getattr(jaxlib, "__version__", "unknown")
+        model = flags = ""
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        key = hashlib.sha1(f"{ver}|{flags}".encode()).hexdigest()[:10]
+            for ln in f:
+                if not flags and ln.startswith("flags"):
+                    flags = ln.strip()
+                if not model and ln.startswith("model name"):
+                    model = ln.strip()
+                if flags and model:
+                    break
+        # The XLA:CPU machine-feature check is finer than the cpuinfo flag
+        # set (a round-4 multichip run still warned about a machine-type
+        # mismatch under an identical flags line), and virtual-device
+        # topology changes the compiled program too — fold the platform
+        # selection + XLA flags + cpu model into the key as well.
+        env = (os.environ.get("JAX_PLATFORMS", "")
+               + "|" + os.environ.get("XLA_FLAGS", ""))
+        key = hashlib.sha1(
+            f"{ver}|{model}|{flags}|{env}".encode()).hexdigest()[:10]
         return f"{base}_{key}"
     except Exception:
         return base

@@ -36,6 +36,11 @@ import pytest
 from moshpp_tpu.io.c3d import read_c3d, write_c3d
 
 REF_C3D = pathlib.Path("/root/reference/src/moshpp/tools/c3d.py")
+# The oracle is exec()'d with full interpreter privileges; pin its content so
+# a modified mount cannot gain code execution in dev/CI runs. On mismatch the
+# module skips loudly instead of running foreign code.
+REF_C3D_SHA256 = \
+    "e38857dac905c4135dbf7e44379b3edb318579f593c5b51e9693d19df335593b"
 
 pytestmark = pytest.mark.skipif(not REF_C3D.exists(),
                                 reason="reference mount not available")
@@ -43,7 +48,13 @@ pytestmark = pytest.mark.skipif(not REF_C3D.exists(),
 
 @pytest.fixture(scope="module")
 def ref():
-    src = REF_C3D.read_text()
+    import hashlib
+    raw = REF_C3D.read_bytes()
+    digest = hashlib.sha256(raw).hexdigest()
+    if digest != REF_C3D_SHA256:
+        pytest.skip(f"SECURITY: oracle {REF_C3D} sha256 {digest} != pinned "
+                    f"{REF_C3D_SHA256}; refusing to exec modified content")
+    src = raw.decode()
     # numpy-2 fix (see module docstring); semantics preserved exactly
     src = src.replace("last_word & 0x80008000",
                       "(last_word.astype(np.int64) & 0x80008000)")

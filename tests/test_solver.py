@@ -400,8 +400,21 @@ class TestGMMPriorSampling:
         e_far = en(rng.normal(size=(64, 12)).astype(np.float32))
         assert e_samples < 0.4 * e_far, (e_samples, e_far)
         assert e_samples < 3.0 * 12, e_samples
-        # first moment: sample mean near the mixture mean
-        w = np.exp(-np.asarray(prior.sqrt_neg_log_w) ** 2)
-        mix_mean = (w / w.sum()) @ np.asarray(prior.means)
-        big = sample_gmm_prior(prior, rng, 2000)
-        assert np.linalg.norm(big.mean(0) - mix_mean) < 0.12
+    def test_component_frequencies_match_true_weights(self, rng):
+        """Weight recovery must undo _from_moments' per-component normalizer
+        (w / (const * sqrdet_k / sqrdet_min)): with strongly differing
+        covariance determinants, the biased recovery exp(-snlw^2) would
+        oversample the low-volume component by ~sqrdet ratio. Build a prior
+        from KNOWN weights and check sampled component frequencies."""
+        from moshpp_tpu.priors.gmm import _from_moments, sample_gmm_prior
+        d = 6
+        means = np.array([[-8.0] * d, [8.0] * d])       # well separated
+        covars = np.stack([np.eye(d) * 0.01, np.eye(d) * 1.0])
+        true_w = np.array([0.3, 0.7])                    # det ratio 1e-12
+        prior = _from_moments(means, covars, true_w)
+        xs = sample_gmm_prior(prior, rng, 4000)
+        frac0 = float(np.mean(xs[:, 0] < 0))             # component 0 share
+        assert abs(frac0 - true_w[0]) < 0.03, frac0
+        # first moment follows from the weights too
+        mix_mean = true_w @ means
+        assert np.linalg.norm(xs.mean(0) - mix_mean) < 0.5
