@@ -253,6 +253,28 @@ def _rel_trans(joints, parents):
     return joints
 
 
+def _bmm(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched tiny-matrix product (…,a,b)x(…,b,c) via multiply-sum.
+
+    Deliberately NOT an einsum/dot_general: XLA's algebraic simplifier
+    mis-folds multi-batch-dim dots produced by stacked vmaps over the FK
+    chain (hlo-verifier "Expected instruction to have shape ..." crash after
+    simplification, observed with subject-vmapped jacfwd in batched
+    stage-i), and 3x3/4x4 contractions never profit from the MXU anyway.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _bmm_t(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched tiny-matrix product against Bᵀ: (…,a,b)x(…,c,b) -> (…,a,c)."""
+    return jnp.sum(A[..., :, None, :] * B[..., None, :, :], axis=-1)
+
+
+def _bmv(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched tiny matrix-vector product (…,a,b)x(…,b) via multiply-sum."""
+    return jnp.sum(A * v[..., None, :], axis=-1)
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _fk_g(joints: jnp.ndarray, rotmats: jnp.ndarray,
           parents: Tuple[int, ...]) -> jnp.ndarray:
@@ -282,8 +304,7 @@ def _fk_g(joints: jnp.ndarray, rotmats: jnp.ndarray,
     # goes through the analytic JVP below instead
     G = local
     for ids, pids in _tree_levels(parents)[1:]:
-        composed = jnp.einsum("kab,kbc->kac", G[jnp.asarray(pids)],
-                              local[jnp.asarray(ids)])
+        composed = _bmm(G[jnp.asarray(pids)], local[jnp.asarray(ids)])
         G = G.at[jnp.asarray(ids)].set(composed)
     return G
 
@@ -299,8 +320,8 @@ def _fk_g_jvp(parents, primals, tangents):
     dt_rel = _rel_trans(dj, parents)
 
     # M_j = dL_j @ L_j^-1 = [dR R^T | dt - dR R^T t ; 0 0]
-    dRRt = jnp.einsum("jab,jcb->jac", dR, rotmats)
-    u = dt_rel - jnp.einsum("jab,jb->ja", dRRt, t_rel)
+    dRRt = _bmm_t(dR, rotmats)
+    u = dt_rel - _bmv(dRRt, t_rel)
 
     # parent transforms (root parent = identity)
     pidx = jnp.asarray([max(p, 0) for p in parents], jnp.int32)
@@ -314,8 +335,8 @@ def _fk_g_jvp(parents, primals, tangents):
     # W_j = Gp [dRRt | u; 0] Gp^-1, with Gp^-1 = [Q^T | -Q^T b; 0 1]:
     #   W_rot = Q dRRt Q^T
     #   W_trans = -W_rot b + Q u
-    W_rot = jnp.einsum("jab,jbc,jdc->jad", Q, dRRt, Q)
-    W_tr = -jnp.einsum("jab,jb->ja", W_rot, b) + jnp.einsum("jab,jb->ja", Q, u)
+    W_rot = _bmm_t(_bmm(Q, dRRt), Q)
+    W_tr = -_bmv(W_rot, b) + _bmv(Q, u)
 
     # cumulative generators over ancestor paths: one dense (J, J) contraction
     anc = jnp.asarray(_ancestor_matrix(parents))
@@ -323,8 +344,8 @@ def _fk_g_jvp(parents, primals, tangents):
     C_tr = jnp.einsum("kj,ja->ka", anc, W_tr)
 
     # dG_k = C_k G_k  (C is [C_rot | C_tr; 0 0])
-    dG_rot = jnp.einsum("kab,kbc->kac", C_rot, G[:, :3, :3])
-    dG_tr = jnp.einsum("kab,kb->ka", C_rot, G[:, :3, 3]) + C_tr
+    dG_rot = _bmm(C_rot, G[:, :3, :3])
+    dG_tr = _bmv(C_rot, G[:, :3, 3]) + C_tr
     zeros_row = jnp.zeros((J, 1, 4), rotmats.dtype)
     dG = jnp.concatenate(
         [jnp.concatenate([dG_rot, dG_tr[:, :, None]], axis=2), zeros_row],

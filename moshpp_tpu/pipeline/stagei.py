@@ -266,27 +266,32 @@ def prepare_stagei_context(model: SurfaceModel,
     return ctx, (betas, latents, poses, trans, exprs)
 
 
-def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
-                      detailed: bool):
-    """Freeze discrete structure at (betas, latents) and assemble one
-    annealing step: returns (residual_fn over the packed vector, pmask).
+class _StageIFrozen(NamedTuple):
+    """Per-subject discrete structure frozen at an annealing step.
 
-    One reference annealing step (chmosh.py:313-406): data rows, GMM prior,
-    init anchors, betas regularizer, signed surface-distance term, and — on
-    'detailed' steps — finger/face regularizers.
-    """
+    Every leaf is an array, so a batch of subjects stacks into one pytree
+    (leading subject axis) and the shared residual runs under `vmap` —
+    the subject axis of stage-i (independent jobs in the reference,
+    run_tools.py:45-67) becomes a TPU batch axis."""
+    idx_can: MarkerFrameIndices       # 3 x (M,) local 8-NN triples (canonical)
+    cand_local: jnp.ndarray           # (M, K, 3) candidate corners (canonical)
+    idx_posed: MarkerFrameIndices     # 3 x (M,) local triples (posed/data)
+    sub_model: SurfaceModel           # LBS vertex subset (data union)
+    can_template: jnp.ndarray         # (Uc, 3)
+    can_shapedirs: jnp.ndarray        # (Uc, 3, nb)
+    vn_corners: jnp.ndarray           # (M, K, 3, 3) frozen sign normals
+    frames_obs: jnp.ndarray           # (F, M, 3)
+    maskf: jnp.ndarray                # (F, M)
+
+
+def _freeze_stagei_structure(ctx: _StageICtx, betas, latents) -> _StageIFrozen:
+    """Freeze the discrete structure at (betas, latents) — host side, 4x per
+    stage-i: 8-NN marker triples, exact-distance candidate faces for the
+    surface term, vertex unions + local remaps, frozen sign normals."""
     model, lay, opts = ctx.model, ctx.lay, ctx.opts
-    info = MODEL_TYPE_INFO[model.model_type]
-    wt = opts.wt
-    F, M, P, nb, ne = lay.F, lay.M, lay.P, lay.nb, lay.ne
-    frames_obs, maskf = ctx.frames_obs, ctx.maskf
+    nb = lay.nb
     faces_np = ctx.faces_np
-    prior_fn, prior_ids = ctx.prior_fn, ctx.prior_ids
-    init_anchor, m2b_j = ctx.init_anchor, ctx.m2b_j
-    head_corr_mat, head_ids = ctx.head_corr_mat, ctx.head_ids
-    parts, face_ids = ctx.parts, ctx.face_ids
 
-    # ---- freeze discrete structure at current state (host) -------------
     can_v = _full_can_verts(model, betas)
     idx = select_frame_indices(can_v, latents, k=opts.knn_k,
                                exclude_mask=ctx.exclude_vertex_mask)
@@ -330,6 +335,55 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
     # frozen sign normals at candidate corners (M, K, 3, 3)
     vn_corners = jnp.asarray(np.asarray(vn_frozen)[cand_corner_vids])
 
+    return _StageIFrozen(
+        idx_can=idx_can_local, cand_local=cand_local,
+        idx_posed=idx_posed_local, sub_model=sub_model,
+        can_template=can_template, can_shapedirs=can_shapedirs,
+        vn_corners=vn_corners, frames_obs=ctx.frames_obs, maskf=ctx.maskf)
+
+
+def _pad_frozen(fz: _StageIFrozen, u_can: int, u_data: int) -> _StageIFrozen:
+    """Pad the vertex unions to common sizes so frozen structures from
+    different subjects stack into one batch. Padded rows are never gathered
+    (all local indices point at real entries) and zero-weight LBS rows cost
+    only dead lanes."""
+    def _pad_rows(a, n):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return jnp.asarray(a)
+        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, pad))
+
+    sm = fz.sub_model
+    sub_model = dataclasses.replace(
+        sm,
+        v_template=_pad_rows(sm.v_template, u_data),
+        shapedirs=_pad_rows(sm.shapedirs, u_data),
+        posedirs=_pad_rows(sm.posedirs, u_data),
+        weights=_pad_rows(sm.weights, u_data))
+    return fz._replace(
+        sub_model=sub_model,
+        can_template=_pad_rows(fz.can_template, u_can),
+        can_shapedirs=_pad_rows(fz.can_shapedirs, u_can))
+
+
+def _stagei_residual_fn(ctx: _StageICtx, anneal: float, detailed: bool):
+    """Residual over (packed x, frozen structure) for one annealing step.
+
+    One reference annealing step (chmosh.py:313-406): data rows, GMM prior,
+    init anchors, betas regularizer, signed surface-distance term, and — on
+    'detailed' steps — finger/face regularizers. Structure-dependent arrays
+    arrive via `fz`, so the same traced function serves every subject in a
+    batch."""
+    model, lay, opts = ctx.model, ctx.lay, ctx.opts
+    info = MODEL_TYPE_INFO[model.model_type]
+    wt = opts.wt
+    F, M, P, nb, ne = lay.F, lay.M, lay.P, lay.nb, lay.ne
+    prior_fn, prior_ids = ctx.prior_fn, ctx.prior_ids
+    init_anchor, m2b_j = ctx.init_anchor, ctx.m2b_j
+    head_corr_mat, head_ids = ctx.head_corr_mat, ctx.head_ids
+    face_ids = ctx.face_ids
+
     # ---- weights for this annealing step --------------------------------
     wt_data = ctx.base_wt_data / anneal
     wt_poseB = wt("poseB") * anneal
@@ -340,10 +394,11 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
     wt_poseF = wt("poseF") * anneal
     wt_expr = wt("expr") * anneal
 
-    def residual(x):
+    def residual(x, fz: _StageIFrozen):
             b, lat, ps, tr, ex = lay.split(x)
-            can_sub = can_template + jnp.einsum("vcb,b->vc", can_shapedirs, b)
-            coeffs = marker_coeffs(can_sub, lat, idx_can_local)
+            can_sub = fz.can_template + jnp.einsum(
+                "vcb,b->vc", fz.can_shapedirs, b)
+            coeffs = marker_coeffs(can_sub, lat, fz.idx_can)
             terms = []
 
             def frame_betas(ex_f):
@@ -354,12 +409,14 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
                 return out.at[es:].set(ex_f)
 
             def one_frame(pose_f, trans_f, ex_f, obs_f, mask_f):
-                verts = lbs_forward(sub_model, pose_f, frame_betas(ex_f), trans_f)
-                sim = reconstruct_markers(verts, idx_posed_local, coeffs)
+                verts = lbs_forward(fz.sub_model, pose_f, frame_betas(ex_f),
+                                    trans_f)
+                sim = reconstruct_markers(verts, fz.idx_posed, coeffs)
                 return ((obs_f - sim) * mask_f[:, None]).reshape(-1)
 
             ex_arg = ex if ne else jnp.zeros((F, 0), x.dtype)
-            rdata = jax.vmap(one_frame)(ps, tr, ex_arg, frames_obs, maskf)
+            rdata = jax.vmap(one_frame)(ps, tr, ex_arg, fz.frames_obs,
+                                        fz.maskf)
             terms.append(rdata.reshape(-1) * wt_data)
 
             if prior_fn is not None and prior_ids is not None:
@@ -378,9 +435,9 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
                 terms.append(b * wt_beta)
 
             # surface term: signed distance to frozen candidate faces
-            a = can_sub[cand_local[..., 0]]
-            bb = can_sub[cand_local[..., 1]]
-            cc = can_sub[cand_local[..., 2]]
+            a = can_sub[fz.cand_local[..., 0]]
+            bb = can_sub[fz.cand_local[..., 1]]
+            cc = can_sub[fz.cand_local[..., 2]]
             pts = lat[:, None, :]
             bary = closest_point_on_triangles(pts, a, bb, cc)   # (M, K, 3)
             cp = bary[..., 0:1] * a + bary[..., 1:2] * bb + bary[..., 2:3] * cc
@@ -389,7 +446,7 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
             mi = jnp.arange(M)
             cp_best = cp[mi, best]
             sq_best = sq[mi, best]
-            n_best = jnp.sum(vn_corners[mi, best] * bary[mi, best][..., None], axis=1)
+            n_best = jnp.sum(fz.vn_corners[mi, best] * bary[mi, best][..., None], axis=1)
             sign = jnp.sign(jnp.sum((lat - cp_best) * jax.lax.stop_gradient(n_best), -1))
             sign = jnp.where(sign == 0, 1.0, sign)
             sdist = sign * jnp.sqrt(sq_best + 1e-12)
@@ -404,7 +461,16 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
 
             return jnp.concatenate(terms)
 
-    # ---- parameter mask for this step -----------------------------------
+    return residual
+
+
+def _stagei_pmask(ctx: _StageICtx, detailed: bool) -> np.ndarray:
+    """Free-variable mask for one annealing step (chmosh.py:386-406)."""
+    model, lay, opts = ctx.model, ctx.lay, ctx.opts
+    info = MODEL_TYPE_INFO[model.model_type]
+    F, M, P, nb, ne = lay.F, lay.M, lay.P, lay.nb, lay.ne
+    parts, face_ids = ctx.parts, ctx.face_ids
+
     pmask = np.zeros(lay.dim, np.float32)
     if opts.optimize_betas:
         pmask[:nb] = 1.0
@@ -421,8 +487,20 @@ def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
     pmask[o + F * P: o + F * P + 3 * F] = 1.0   # trans
     if ne and detailed and opts.optimize_face:
         pmask[o + F * P + 3 * F:] = 1.0
+    return pmask
 
-    return residual, pmask
+
+def build_stagei_step(ctx: _StageICtx, betas, latents, anneal: float,
+                      detailed: bool):
+    """Freeze discrete structure at (betas, latents) and assemble one
+    annealing step: returns (residual_fn over the packed vector, pmask)."""
+    fz = _freeze_stagei_structure(ctx, betas, latents)
+    rf = _stagei_residual_fn(ctx, anneal, detailed)
+
+    def residual(x):
+        return rf(x, fz)
+
+    return residual, _stagei_pmask(ctx, detailed)
 
 
 def mosh_stagei_solve(model: SurfaceModel,
@@ -474,7 +552,88 @@ def mosh_stagei_solve(model: SurfaceModel,
         if ne:
             exprs = ex_new
 
-    # ---- outputs -------------------------------------------------------------
+    return _stagei_outputs(ctx, latent_labels, betas, latents, poses, trans,
+                           exprs)
+
+
+def mosh_stagei_solve_batched(model: SurfaceModel,
+                              frames_obs: np.ndarray,
+                              frames_mask: np.ndarray,
+                              latent_labels: List[str],
+                              layout_vids: np.ndarray,
+                              m2b: np.ndarray,
+                              type_masks: Dict[str, np.ndarray],
+                              opts: StageIOptions = StageIOptions(),
+                              prior: Optional[MaxMixturePrior] = None,
+                              betas_init: Optional[np.ndarray] = None,
+                              exclude_vertex_mask: Optional[np.ndarray] = None,
+                              ) -> List[StageIResult]:
+    """Stage-i over a BATCH of subjects sharing one marker layout.
+
+    Stage-i jobs are independent in the reference (one process per subject,
+    dedup'd by `universal_mosh_jobs_filter`, run_tools.py:45-67); on TPU the
+    subject axis is a batch axis: every annealing step freezes each
+    subject's discrete structure on the host (unions padded to a common
+    size), stacks them into one `_StageIFrozen` pytree, and solves all
+    packed systems in ONE batched dogleg (`batched_dogleg_solve`) — the chip
+    amortizes compile and fills the underutilized lanes of the
+    single-subject solve.
+
+    Args:
+      frames_obs: (S, F, M, 3); frames_mask: (S, F, M). Subjects must share
+        the layout (`layout_vids`/`m2b`/`type_masks`) and frame count — the
+        normal fleet case (same capture protocol, different subjects).
+    Returns one StageIResult per subject.
+    """
+    from moshpp_tpu.solver.gauss_newton import batched_dogleg_solve
+
+    S = frames_obs.shape[0]
+    pairs = [prepare_stagei_context(
+        model, frames_obs[s], frames_mask[s], layout_vids, m2b, type_masks,
+        opts=opts, prior=prior, betas_init=betas_init,
+        exclude_vertex_mask=exclude_vertex_mask) for s in range(S)]
+    ctxs = [p[0] for p in pairs]
+    lay = ctxs[0].lay
+    ne = lay.ne
+    states = [list(p[1]) for p in pairs]   # per-subject [betas, latents, ...]
+
+    annealing = tuple(opts.wt("annealing"))
+    for tidx, anneal in enumerate(annealing):
+        detailed = tidx > len(annealing) - 3
+        fzs = [_freeze_stagei_structure(ctxs[s], states[s][0], states[s][1])
+               for s in range(S)]
+        u_can = max(int(fz.can_template.shape[0]) for fz in fzs)
+        u_data = max(int(fz.sub_model.v_template.shape[0]) for fz in fzs)
+        fzs = [_pad_frozen(fz, u_can, u_data) for fz in fzs]
+        frozen = jax.tree.map(lambda *a: jnp.stack(a), *fzs)
+        rf = _stagei_residual_fn(ctxs[0], anneal, detailed)
+        pmask = _stagei_pmask(ctxs[0], detailed)
+        x0 = jnp.stack([
+            lay.pack(st[0], st[1], st[2], st[3], st[4] if ne else None)
+            for st in states])
+        res = jax.jit(lambda xx, fz: batched_dogleg_solve(
+            rf, xx, fz,
+            DoglegOptions(maxiter=opts.maxiter, e_3=opts.e_3, delta_0=0.5),
+            param_mask=jnp.asarray(pmask)))(x0, frozen)
+        for s in range(S):
+            b, lat, ps, tr, ex_new = lay.split(res.x[s])
+            states[s][:4] = [b, lat, ps, tr]
+            if ne:
+                states[s][4] = ex_new
+
+    return [_stagei_outputs(ctxs[s], latent_labels, *states[s][:4],
+                            states[s][4] if ne else None)
+            for s in range(S)]
+
+
+def _stagei_outputs(ctx: _StageICtx, latent_labels, betas, latents, poses,
+                    trans, exprs) -> StageIResult:
+    """Final stage-i outputs: nearest-vid snap (chmosh.py:422-431), full-mesh
+    marker simulation, and the mean data residual."""
+    model, lay, opts = ctx.model, ctx.lay, ctx.opts
+    F, nb, ne = lay.F, lay.nb, lay.ne
+    frames_obs, maskf = ctx.frames_obs, ctx.maskf
+    errs: Dict[str, float] = {}
     can_v = _full_can_verts(model, betas)
     snap = np.asarray(nearest_vertex(latents, can_v))
     markers_latent_vids = {l: int(v) for l, v in zip(latent_labels, snap)}

@@ -173,6 +173,67 @@ class TestStageI:
         assert set(res.markers_latent_vids.keys()) == set(labels)
 
 
+class TestStageIBatched:
+    def test_batched_matches_single(self, model, prior, rng):
+        """Batched stage-i (subject axis as a TPU batch axis) must deliver
+        the same functional outputs as per-subject solves: matching data
+        residuals and latent placements. Exact parameters are gauge-free on
+        tiny synthetic problems, so the bar is output quality, not
+        parameter identity."""
+        from moshpp_tpu.pipeline.stagei import mosh_stagei_solve_batched
+
+        M, F, S = 14, 5, 2
+        # subjects share the marker layout (vids), differ in shape + motion
+        base = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
+                           pose_scale=0.1, betas_scale=0.4)
+        truths = [base]
+        V = model.v_template.shape[0]
+        for s in range(1, S):
+            t = _make_truth(model, num_markers=M, num_frames=F, rng=rng,
+                            pose_scale=0.1, betas_scale=0.4)
+            t["vids"] = base["vids"]
+            # re-derive latents/obs for the shared vids
+            can_v = np.asarray(model.v_template) + np.einsum(
+                "vcb,b->vc", np.asarray(model.shapedirs)[..., :model.num_betas],
+                t["betas"])
+            vn = np.asarray(vertex_normals(jnp.asarray(can_v), model.faces))
+            t["latents"] = can_v[base["vids"]] + vn[base["vids"]] * 0.0095
+            idx = select_frame_indices(jnp.asarray(can_v),
+                                       jnp.asarray(t["latents"]))
+            coeffs = marker_coeffs(jnp.asarray(can_v),
+                                   jnp.asarray(t["latents"]), idx)
+
+            def sim(p, tr):
+                verts = lbs_forward(model, p, jnp.asarray(t["betas"]), tr)
+                return reconstruct_markers(verts, idx, coeffs)
+
+            t["obs"] = np.asarray(jax.vmap(sim)(jnp.asarray(t["poses"]),
+                                                jnp.asarray(t["trans"])))
+            truths.append(t)
+
+        labels = [f"L{i}" for i in range(M)]
+        kw = dict(latent_labels=labels, layout_vids=base["vids"],
+                  m2b=np.full(M, 0.0095, np.float32),
+                  type_masks={"body": np.ones(M, bool)},
+                  opts=StageIOptions(maxiter=40, num_betas=model.num_betas),
+                  prior=prior)
+
+        obs = np.stack([t["obs"] for t in truths])
+        res_b = mosh_stagei_solve_batched(
+            model, obs, np.ones((S, F, M), bool), **kw)
+        assert len(res_b) == S
+        for s in range(S):
+            res_1 = mosh_stagei_solve(model, truths[s]["obs"],
+                                      np.ones((F, M), bool), **kw)
+            err_b = res_b[s].errs["data_mean_m"] * 1000.0
+            err_1 = res_1.errs["data_mean_m"] * 1000.0
+            # same functional quality as the single-subject solve
+            assert err_b < max(2.0 * err_1, 4.0), (err_b, err_1)
+            lat_err = np.linalg.norm(
+                res_b[s].markers_latent - truths[s]["latents"], axis=1)
+            assert np.median(lat_err) < 0.10
+
+
 class TestChunkedSolve:
     def test_chunked_matches_unchunked(self, model, prior, rng):
         """Long sequences solve in overlapping chunks; the halo must make
