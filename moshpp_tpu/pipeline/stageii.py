@@ -45,6 +45,7 @@ Performance architecture (v5e, tunneled dispatch ~27 ms/call):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 import os
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
@@ -85,6 +86,13 @@ DEFAULT_STAGEII_WEIGHTS = {
     # smplh/smplx table, support_data/conf/moshpp_conf.yaml:118-125
     "data": 400.0, "velo": 2.5, "dmpl": 1.0, "expr": 1.0,
     "poseB": 1.6, "poseH": 1.0, "poseF": 1.0, "annealing": 2.5,
+    # extra multiplier on the velocity (temporal smoothness) weight for the
+    # hand-PCA dofs only. Markers sit on the body, so hand dofs are
+    # observable only through the prior — the reference's sequential warm
+    # starts act as an implicit temporal regularizer there
+    # (chmosh.py:624-626); this lever reproduces it explicitly in the
+    # batched smoothing sweeps (see the hands-v2v experiment, STATUS r5).
+    "velo_hands": 1.0,
 }
 
 STAGEII_PHASE_NAMES = ("anneal10", "anneal5", "anneal1", "anchor_step2",
@@ -331,6 +339,22 @@ def _term_spec(prob: StageIIProblem, opts: StageIIOptions,
                      extra_sl=slice(3 + P, None))
 
 
+def _velo_weight_vec(prob, opts, spec) -> jnp.ndarray:
+    """Per-dof velocity (temporal smoothness) weights over the pose vector.
+
+    Base `wt("velo")` everywhere; hand-PCA dofs additionally scaled by
+    `wt("velo_hands")`. Markers sit on the body, so hand dofs are observable
+    only through the prior — the reference's sequential warm starts act as an
+    implicit temporal regularizer exactly there (chmosh.py:624-626); this is
+    that regularizer made explicit for the batched smoothing sweeps."""
+    P = prob.sub_model.pose_dof
+    w = np.full(P, float(opts.wt("velo")), np.float32)
+    vh = float(opts.wt("velo_hands"))
+    if vh != 1.0 and spec.finger_ids is not None:
+        w[np.asarray(spec.finger_ids) - 3] *= vh
+    return jnp.asarray(w)
+
+
 def make_stageii_residual(prob: StageIIProblem,
                           opts: StageIIOptions,
                           prior,
@@ -347,6 +371,7 @@ def make_stageii_residual(prob: StageIIProblem,
     prior_n = prior
     spec = _term_spec(prob, opts, model_type)
     wt = opts.wt
+    velo_w = _velo_weight_vec(prob, opts, spec)
 
     def residual(x: jnp.ndarray, aux) -> jnp.ndarray:
         model = prob.sub_model
@@ -379,7 +404,7 @@ def make_stageii_residual(prob: StageIIProblem,
             terms.append((extra - aux["extra_anchor"]) * (6.0 * aux["extra_on"]))
 
         # velocity extrapolation anchor over the full pose vector
-        terms.append((pose - aux["velo_anchor"]) * (wt("velo") * aux["velo_on"]))
+        terms.append((pose - aux["velo_anchor"]) * (velo_w * aux["velo_on"]))
 
         return jnp.concatenate(terms)
 
@@ -442,6 +467,7 @@ def make_stageii_system(prob: StageIIProblem,
         Msel = jnp.asarray(Msel)
     fing_rng = _contig(spec.finger_ids)
     face_rng = _contig(spec.face_ids)
+    velo_w = _velo_weight_vec(prob, opts, spec)
 
     def _data_jac(x):
         trans, pose, extra = _split_x(x, P)
@@ -455,6 +481,80 @@ def make_stageii_system(prob: StageIIProblem,
             Je = jax.jacfwd(sim_extra)(extra)          # (M, 3, E)
             Jm = jnp.concatenate([Jm, Je], axis=-1)
         return sim, Jm                                  # (M,3), (M,3,D)
+
+    def _quad_smalls(x, aux, f):
+        """Per-frame quad terms WITHOUT touching B.
+
+        Same math as `_quad_terms`, but instead of accumulating into the
+        (D, D) normal-equations block it returns the pieces — gradient add,
+        diagonal vector, and the (dense, small) body-prior block — so the
+        batched path can fold them into B in its frame-minor layout in ONE
+        fused output pass (reading the GEMM result twice, writing (D, D, N)
+        once) rather than rewriting the full (N, D, D) array per term.
+        Only valid when the body-prior slice is contiguous (`body_rng`);
+        the non-contiguous (dog) case keeps `_quad_terms`.
+        """
+        pose = x[spec.pose_sl]
+        extra = x[spec.extra_sl]
+        dvec = jnp.zeros(D, x.dtype)
+        g = jnp.zeros(D, x.dtype)
+        bw = body_rng[1] - body_rng[0] if body_rng is not None else 0
+        ppw = jnp.zeros((bw, bw), x.dtype)
+
+        if prior_n is not None and spec.body_ids is not None:
+            w = wt("poseB") * aux["anneal"] * aux["wt_pose_scale"]
+            w2 = w * w
+            s, e = body_rng
+            xb = x[s:e]
+            if is_gmm:
+                xs = jax.lax.stop_gradient(xb)
+                diff_all = xs[None, :] - prior_n.means
+                r_all = jnp.einsum("kd,kde->ke", diff_all, prior_n.chols)
+                energies = (0.5 * jnp.sum(r_all * r_all, axis=-1)
+                            + prior_n.sqrt_neg_log_w ** 2)
+                k = jnp.argmin(energies)
+                q = xb - prior_n.means[k]
+                PPk = PP[k]
+                gq = PPk @ q
+                f = f + w2 * (q @ gq + prior_n.sqrt_neg_log_w[k] ** 2)
+                g = g.at[s:e].add(w2 * gq)
+                ppw = w2 * PPk
+            else:
+                rp = prior_n(xb) * w
+                Jp = prior_jac(xb) * w
+                f = f + rp @ rp
+                g = g.at[s:e].add(Jp.T @ rp)
+                ppw = Jp.T @ Jp
+
+        def diag_rng(f, g, dvec, s, e, vals, w):
+            # w may be a scalar or a per-dof (e-s,) vector (velo_hands)
+            w2 = w * w
+            f = f + jnp.sum(w2 * vals * vals)
+            g = g.at[s:e].add(w2 * vals)
+            dvec = dvec.at[s:e].add(jnp.broadcast_to(w2, vals.shape))
+            return f, g, dvec
+
+        if fing_rng is not None:
+            s, e = fing_rng
+            f, g, dvec = diag_rng(f, g, dvec, s, e, x[s:e],
+                                  wt("poseH") * aux["anneal"])
+        if face_rng is not None:
+            s, e = face_rng
+            f, g, dvec = diag_rng(f, g, dvec, s, e, x[s:e],
+                                  wt("poseF") * aux["anneal"])
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D, extra,
+                                  jnp.float32(wt("expr")))
+        if opts.optimize_dynamics and E:
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D, extra,
+                                  jnp.float32(wt("dmpl")))
+            f, g, dvec = diag_rng(f, g, dvec, 3 + P, D,
+                                  extra - aux["extra_anchor"],
+                                  6.0 * aux["extra_on"])
+
+        f, g, dvec = diag_rng(f, g, dvec, 3, 3 + P,
+                              pose - aux["velo_anchor"],
+                              velo_w * aux["velo_on"])
+        return f, g, dvec, ppw
 
     def _quad_terms(x, aux, g, B, f):
         """All non-data terms, accumulated analytically.
@@ -499,10 +599,11 @@ def make_stageii_system(prob: StageIIProblem,
                 B = B + Msel.T @ (Bb @ Msel)
 
         def diag_rng(f, g, dvec, s, e, vals, w):
+            # w may be a scalar or a per-dof (e-s,) vector (velo_hands)
             w2 = w * w
-            f = f + w2 * (vals @ vals)
+            f = f + jnp.sum(w2 * vals * vals)
             g = g.at[s:e].add(w2 * vals)
-            dvec = dvec.at[s:e].add(w2)
+            dvec = dvec.at[s:e].add(jnp.broadcast_to(w2, vals.shape))
             return f, g, dvec
 
         if fing_rng is not None:
@@ -524,7 +625,7 @@ def make_stageii_system(prob: StageIIProblem,
 
         f, g, dvec = diag_rng(f, g, dvec, 3, 3 + P,
                               pose - aux["velo_anchor"],
-                              wt("velo") * aux["velo_on"])
+                              velo_w * aux["velo_on"])
         B = B + jnp.eye(D, dtype=x.dtype) * dvec
         return f, g, B
 
@@ -548,6 +649,14 @@ def make_stageii_system(prob: StageIIProblem,
         and opts.jac_backend in ("auto", "pallas")
         and (opts.jac_backend == "pallas" or jax.default_backend() == "tpu"))
 
+    # frame-minor B needs the body-prior block contiguous (no Msel); the
+    # dog's non-contiguous joint subset keeps the legacy (N, D, D) path
+    use_bt = (body_rng is not None
+              or prior_n is None or spec.body_ids is None)
+    # A/B lever: 'frame_minor' emits B as (D, D, N) (no relayout before the
+    # direction kernel); 'batch' emits (N, D, D) with the quads still fused
+    _BT_LAYOUT = os.environ.get("MOSHPP_BT_LAYOUT", "frame_minor")
+
     def system_fn_batched(x, aux):
         """Batched assembly with the fused Pallas marker-Jacobian kernels.
 
@@ -556,6 +665,20 @@ def make_stageii_system(prob: StageIIProblem,
         vmapped per frame. The kernel is also the *more accurate* path
         (full-f32 VPU vs the XLA chain's bf16x3 matmuls: 2.6e-6 m vs 2.2e-4 m
         against float64 ground truth).
+
+        When `use_bt`, B is returned FRAME-MINOR — (D, D, N), the layout the
+        fused direction kernel consumes — assembled as:
+          * gradient: exact-f32 multiply+reduce (one pass over Jd, more
+            accurate than the previous bf16x3 matvec);
+          * data block: TWO bf16 GEMMs on the hi/lo split (P = ½hi·hiᵀ+hi·loᵀ,
+            B = P + Pᵀ — same terms as XLA's 'high' bf16x3 but one GEMM
+            fewer; the optimization barrier keeps the simplifier from
+            refolding hi+lo back into a single bf16 operand);
+          * quad terms (diag vector + body-prior block from `_quad_smalls`)
+            folded into the SAME fused output pass that symmetrizes and
+            transposes P — B is written once, already in (D, D, N), instead
+            of GEMM-write → quad rewrite → pad+transpose (3x the HBM
+            round-trips at F=4096/D=117).
         """
         interp = jax.default_backend() != "tpu"
         wrow = aux["mask"] * aux["wt_data"][:, None]           # (N, M)
@@ -568,13 +691,59 @@ def make_stageii_system(prob: StageIIProblem,
                                               x, interpret=interp)
             rd = (sim - aux["markers"]) * wrow[..., None]
             Jd = Jm * wrow[..., None, None]
-        # 'high' (bf16x3) for the normal equations; cost f in full f32
-        # (the e_3 stopping test compares f across iterations)
-        with jax.default_matmul_precision(opts.jac_precision):
-            g = jnp.einsum("nmc,nmcd->nd", rd, Jd)
-            B = jnp.einsum("nmcd,nmce->nde", Jd, Jd)
-        f = jnp.sum(rd * rd, axis=(1, 2))
-        return jax.vmap(_quad_terms)(x, aux, g, B, f)
+        f0 = jnp.sum(rd * rd, axis=(1, 2))   # full f32: e_3 compares f
+        if not use_bt:
+            with jax.default_matmul_precision(opts.jac_precision):
+                g = jnp.einsum("nmc,nmcd->nd", rd, Jd)
+                B = jnp.einsum("nmcd,nmce->nde", Jd, Jd)
+            return jax.vmap(_quad_terms)(x, aux, g, B, f0)
+
+        N = x.shape[0]
+        g0 = jnp.sum(Jd * rd[..., None], axis=(1, 2))          # (N, D) f32
+        J2 = Jd.reshape(N, 3 * Jd.shape[1], D)
+        if opts.jac_precision == "default":
+            hi = J2.astype(jnp.bfloat16)
+            mm = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            P0 = 0.5 * mm(hi, hi)
+        else:
+            hi = J2.astype(jnp.bfloat16)
+            lo = (J2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # without the barrier XLA's algebraic simplifier can refold
+            # hi@hi + 2*hi@lo into hi@(hi+lo) with the sum taken in bf16,
+            # which silently drops the low bits (measured: error reverts to
+            # plain-bf16 level)
+            hi, lo = jax.lax.optimization_barrier((hi, lo))
+            mm = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            P0 = 0.5 * mm(hi, hi) + mm(hi, lo)                 # (N, D, D)
+        f, gq, dvec, ppw = jax.vmap(_quad_smalls)(x, aux, f0)
+        eye = jnp.eye(D, dtype=x.dtype)
+        if _BT_LAYOUT == "frame_minor":
+            # one fused output pass producing B in the direction kernel's
+            # (D, D, N) layout: P0 read twice (transposed patterns), quads
+            # added in place, no separate quad/relayout passes
+            Bt = (jnp.transpose(P0, (1, 2, 0)) + jnp.transpose(P0, (2, 1, 0))
+                  + eye[:, :, None] * dvec.T[:, None, :])
+            if ppw.shape[1]:
+                s = body_rng[0]
+                pad = ((s, D - body_rng[1]), (s, D - body_rng[1]), (0, 0))
+                Bt = Bt + jnp.pad(jnp.transpose(ppw, (1, 2, 0)), pad)
+            return f, g0 + gq, Bt
+        # batch-major variant: symmetrize + quads in one fused pass (minor
+        # dims swap only), direction kernel pays the (N,D,D)->(D,D,N)
+        # relayout as before
+        B = (P0 + jnp.transpose(P0, (0, 2, 1))
+             + eye[None, :, :] * dvec[:, None, :])
+        if ppw.shape[1]:
+            s = body_rng[0]
+            pad = ((0, 0), (s, D - body_rng[1]), (s, D - body_rng[1]))
+            B = B + jnp.pad(ppw, pad)
+        return f, g0 + gq, B
 
     def cost_fn(x, aux):
         sim = simulate_markers(prob, opts, x)
@@ -604,7 +773,9 @@ def make_stageii_system(prob: StageIIProblem,
 
     return GNSystem(system_fn, cost_fn,
                     system_fn_batched if use_pallas else None,
-                    cost_fn_batched if use_pallas else None)
+                    cost_fn_batched if use_pallas else None,
+                    b_frame_minor=bool(use_pallas and use_bt
+                                       and _BT_LAYOUT == "frame_minor"))
 
 
 def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,
@@ -618,6 +789,7 @@ def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,
     prior_n = prior
     spec = _term_spec(prob, opts, model_type)
     wt = opts.wt
+    velo_w = _velo_weight_vec(prob, opts, spec)
 
     def energies(x, aux):
         pose = x[spec.pose_sl]
@@ -644,7 +816,7 @@ def stageii_term_energies(prob: StageIIProblem, opts: StageIIOptions,
             out["dmpl"] = ve @ ve
             va_ = (extra - aux["extra_anchor"]) * (6.0 * aux["extra_on"])
             out["dmpl_anchor"] = va_ @ va_
-        v = (pose - aux["velo_anchor"]) * (wt("velo") * aux["velo_on"])
+        v = (pose - aux["velo_anchor"]) * (velo_w * aux["velo_on"])
         out["velo"] = v @ v
         return out
 
@@ -1246,7 +1418,15 @@ def stageii_system_probe(prob: StageIIProblem,
            "extra_anchor": jnp.zeros((F, E), jnp.float32),
            "extra_on": jnp.zeros((F,), jnp.float32)}
     system = make_stageii_system(prob, opts, prior, model_type)
-    sys_b = system.system_fn_batched or jax.vmap(system.system_fn)
+    sys_raw = system.system_fn_batched or jax.vmap(system.system_fn)
+
+    def sys_b(x, a):
+        # probe convention stays (N, D, D) regardless of the assembly layout
+        f_, g_, B_ = sys_raw(x, a)
+        if system.b_frame_minor:
+            B_ = jnp.moveaxis(B_, -1, 0)
+        return f_, g_, B_
+
     x0 = rigid_init(prob, opts, markers_obs, maskf)
     if mesh is None:
         return jax.jit(sys_b)(x0, aux)

@@ -92,11 +92,17 @@ class GNSystem(NamedTuple):
       kernel, whose frame axis lives in the lane dimension).
     cost_fn_batched: optional (x (N,P), aux) -> (N,) costs, same idea for
       trial-point evaluation (the Pallas sim-only kernel).
+    b_frame_minor: when True, system_fn_batched returns B FRAME-MINOR as
+      (D, D, N) — the exact layout the fused Pallas direction kernel keeps
+      resident in VMEM — so the assembly's (N, D, D) -> (D, D, N) relayout
+      (a full HBM round-trip of B per iteration) never happens. Fallback
+      paths (XLA PCG, vmapped per-frame step) transpose it back.
     """
     system_fn: Callable
     cost_fn: Callable
     system_fn_batched: Optional[Callable] = None
     cost_fn_batched: Optional[Callable] = None
+    b_frame_minor: bool = False
 
 
 class SolveResult(NamedTuple):
@@ -335,7 +341,8 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
             g = g * mask
             p, p_gn, pred = dogleg_direction_batched(
                 g, B, s.plin, mask, s.delta, opts.cg_iters, opts.damping,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                b_frame_minor=system.b_frame_minor)
             x_new = s.x + p
             f_new = cost_b(x_new, aux)
             g_norm = jnp.linalg.norm(g, axis=-1)
@@ -349,6 +356,8 @@ def _body_batched_fn(system: GNSystem, opts: DoglegOptions, e_3):
 
     def body(s: _State, aux, mask) -> _State:
         _, g, B = sys_b(s.x, aux)
+        if system.b_frame_minor:
+            B = jnp.moveaxis(B, -1, 0)
         g, B, p, p_gn = direction_b(s, mask, g, B)
         x_new = s.x + p
         f_new = cost_b(x_new, aux)

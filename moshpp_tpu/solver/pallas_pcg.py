@@ -234,14 +234,19 @@ def dogleg_direction_batched(g: jnp.ndarray,
                              delta: jnp.ndarray,
                              iters: int,
                              damping: float,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             b_frame_minor: bool = False):
     """Fully-fused batched dogleg direction from RAW normal equations.
 
-    (g_masked (N,D), B (N,D,D) raw symmetric, plin (N,D), mask (N,D),
+    (g_masked (N,D), B raw symmetric, plin (N,D), mask (N,D),
     delta (N,)) -> (p (N,D) dogleg step, p_gn (N,D) warm start,
     pred (N,) model reduction). Replaces the XLA chain
     masked-copy -> damped-copy -> kernel-transpose -> geometry -> pred,
     which wrote three full (N,D,D) copies of B per iteration.
+
+    B is (N, D, D) by default; with `b_frame_minor` it arrives already in
+    the kernel's (D, D, N) layout (the frame-minor assembly path) and the
+    per-iteration relayout of B disappears entirely.
     """
     N, D = g.shape
     Np = -(-N // BF) * BF
@@ -250,7 +255,10 @@ def dogleg_direction_batched(g: jnp.ndarray,
     # pad mask with zeros: padded frames solve the identity system
     mt = jnp.pad(mask.astype(g.dtype), ((0, Np - N), (0, 0))).T
     dt = jnp.pad(delta, (0, Np - N))[None, :]              # (1, Np)
-    Bt = jnp.pad(B, ((0, Np - N), (0, 0), (0, 0))).transpose(1, 2, 0)
+    if b_frame_minor:
+        Bt = jnp.pad(B, ((0, 0), (0, 0), (0, Np - N)))
+    else:
+        Bt = jnp.pad(B, ((0, Np - N), (0, 0), (0, 0))).transpose(1, 2, 0)
 
     kern = functools.partial(_direction_kernel, iters=iters, D=D,
                              damping=damping)

@@ -132,7 +132,9 @@ def test_stageii_batched_system_traces():
     }
     f, g, B = jax.eval_shape(system.system_fn_batched, x, aux)
     assert f.shape == (F,) and g.shape == (F, 3 + P)
-    assert B.shape == (F, 3 + P, 3 + P)
+    # frame-minor B: (D, D, N) — the fused direction kernel's native layout
+    assert system.b_frame_minor
+    assert B.shape == (3 + P, 3 + P, F)
     fc = jax.eval_shape(system.cost_fn_batched, x, aux)
     assert fc.shape == (F,)
 

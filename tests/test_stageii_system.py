@@ -115,11 +115,37 @@ class TestSystemMatchesResidual:
 
         _check(prob, opts, horse_prior, "animal_horse", x, aux)
 
+    def test_velo_hands_weight(self):
+        """velo_hands scales the velocity rows on hand-PCA dofs only; the
+        direct system (vector diag update) must still equal the residual's
+        JᵀJ (the hands-v2v null-space lever, STATUS r5)."""
+        wts = {"velo": 2.5, "velo_hands": 4.0}
+        opts = StageIIOptions(optimize_fingers=True, weights=wts)
+        prob, opts, x, aux = _setup("smplh", opts, dof_per_hand=6)
+        prior = make_gmm_prior(dim=63, num_components=4, seed=2, scale=0.3)
+        _check(prob, opts, prior, "smplh", x, aux)
+
     def test_toes_frozen_consistency(self):
         opts = StageIIOptions(optimize_toes=True)
         prob, opts, x, aux = _setup("smpl", opts)
         prior = make_gmm_prior(dim=69, num_components=3, seed=6, scale=0.3)
         _check(prob, opts, prior, "smpl", x, aux)
+
+
+def _assert_batched_matches(system, x, aux):
+    """Fused batched system vs vmapped per-frame system (f, g, B equal).
+
+    Normalizes the frame-minor (D, D, N) B layout of the batched path back
+    to (N, D, D) before comparing."""
+    f_b, g_b, B_b = system.system_fn_batched(x, aux)
+    if system.b_frame_minor:
+        B_b = jnp.moveaxis(B_b, -1, 0)
+    f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
+                               atol=5e-4 * np.abs(np.asarray(g_r)).max())
+    np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
+                               atol=5e-4 * np.abs(np.asarray(B_r)).max())
 
 
 class TestPallasBatchedSystem:
@@ -131,21 +157,27 @@ class TestPallasBatchedSystem:
         prior = make_gmm_prior(dim=63, num_components=3, seed=0, scale=0.4)
         system = make_stageii_system(prob, opts, prior, "smplh")
         assert system.system_fn_batched is not None
+        assert system.b_frame_minor
 
         N = 3
         x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
-        aux = jax.tree.map(
-            lambda a: jnp.stack([a] * N) if hasattr(a, "shape") else a, aux1)
         aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
                for k, v in aux1.items()}
+        _assert_batched_matches(system, x, aux)
 
-        f_b, g_b, B_b = system.system_fn_batched(x, aux)
-        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
-        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
-        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
-                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
-        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
-                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
+    def test_velo_hands_batched_matches(self, rng):
+        """The fused _quad_smalls path must carry the per-dof velo_hands
+        velocity weights identically to the per-frame system."""
+        opts = StageIIOptions(optimize_fingers=True, jac_backend="pallas",
+                              weights={"velo": 2.5, "velo_hands": 4.0})
+        prob, opts, x1, aux1 = _setup("smplh", opts=opts, dof_per_hand=6)
+        prior = make_gmm_prior(dim=63, num_components=3, seed=0, scale=0.4)
+        system = make_stageii_system(prob, opts, prior, "smplh")
+        N = 3
+        x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
+        aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
+               for k, v in aux1.items()}
+        _assert_batched_matches(system, x, aux)
 
     def test_dynamics_batched_matches(self, rng):
         """DMPL extra dims now run in-kernel (no XLA fallback): the batched
@@ -163,13 +195,7 @@ class TestPallasBatchedSystem:
         x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
         aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
                for k, v in aux1.items()}
-        f_b, g_b, B_b = system.system_fn_batched(x, aux)
-        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
-        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
-        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
-                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
-        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
-                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
+        _assert_batched_matches(system, x, aux)
 
     def test_face_expressions_batched_matches(self, rng):
         opts = StageIIOptions(optimize_fingers=True, optimize_face=True,
@@ -187,10 +213,4 @@ class TestPallasBatchedSystem:
         x = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(N)])
         aux = {k: jnp.broadcast_to(jnp.asarray(v), (N,) + jnp.asarray(v).shape)
                for k, v in aux1.items()}
-        f_b, g_b, B_b = system.system_fn_batched(x, aux)
-        f_r, g_r, B_r = jax.vmap(system.system_fn)(x, aux)
-        np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_r), rtol=2e-4)
-        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_r),
-                                   atol=5e-4 * np.abs(np.asarray(g_r)).max())
-        np.testing.assert_allclose(np.asarray(B_b), np.asarray(B_r),
-                                   atol=5e-4 * np.abs(np.asarray(B_r)).max())
+        _assert_batched_matches(system, x, aux)

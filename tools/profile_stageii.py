@@ -221,7 +221,8 @@ def main():
             f"fused dogleg direction ({opts.cg_iters} cg iters)",
             lambda g: dogleg_direction_batched(
                 g, B0, jnp.zeros_like(g), pm, delta,
-                iters=opts.cg_iters, damping=1e-5, interpret=interp)[0], g0)
+                iters=opts.cg_iters, damping=1e-5, interpret=interp,
+                b_frame_minor=system.b_frame_minor)[0], g0)
 
 
 if __name__ == "__main__":
