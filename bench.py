@@ -35,6 +35,77 @@ import numpy as np
 HBM_PEAK_GB_S = 819.0
 BF16_PEAK_TFLOP_S = 197.0
 
+# Window-probe nominals: the same two fixed-shape probe programs measured in
+# a KNOWN-GOOD chip window (round 5). The tunneled chip shows whole windows
+# that run ~20% slow on identical code+cache (STATUS round 4), which a raw
+# throughput capture cannot distinguish from a code regression. The probes
+# are solver-independent, so probe/nominal identifies the window speed inside
+# the artifact itself. The RAW fps stays the number of record; the normalized
+# figure is diagnostic.
+PROBE_NOMINAL = {
+    # measured round 5 in a good window (ideal: 0.70 ms at 197 TFLOP/s,
+    # 0.625 ms at 819 GB/s — 95% / 75% of peak, so this window was healthy)
+    "matmul_ms": 0.734,     # (4096,4096)x(4096,4096) bf16->f32 MXU chain
+    "stream_ms": 0.832,     # 256 MB f32 axpy HBM-stream chain
+}
+
+
+def _make_window_probes(jax, jnp):
+    """Two jitted fixed-shape probes: MXU matmul chain + HBM stream chain.
+
+    Timing protocol: each probe is a `lax.scan` of K DEPENDENT iterations
+    inside one program (the tunneled runtime dedups identical independent
+    dispatches and adds ~30 ms of RTT per call, so naive per-op loops
+    measure dispatch, not execution — verified by calibration). Per-iteration
+    time comes from differencing a long and a short chain, which cancels the
+    RTT and any fixed program overhead."""
+    a0 = jnp.ones((4096, 4096), jnp.bfloat16)              # 137.4 GFLOP/iter
+    big = jnp.ones((64, 1024, 1024), jnp.float32)          # 512 MB rw/iter
+    K_LONG, K_SHORT = 60, 10
+
+    def _mm_chain(k):
+        @jax.jit
+        def run(a):
+            def body(c, _):
+                c = jax.lax.dot_general(
+                    c, a, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # 1/4096 is a power of two: the all-ones chain stays exactly
+                # all-ones, no overflow, and the scale can't be folded away
+                return (c * (1.0 / 4096.0)).astype(jnp.bfloat16), None
+            c, _ = jax.lax.scan(body, a, None, length=k)
+            return jnp.sum(c.astype(jnp.float32))
+        return run
+
+    def _st_chain(k):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return c * 1.0000001 + 1e-7, None
+            c, _ = jax.lax.scan(body, x, None, length=k)
+            return jnp.sum(c)
+        return run
+
+    chains = {"mm": (_mm_chain(K_LONG), _mm_chain(K_SHORT), a0),
+              "st": (_st_chain(K_LONG), _st_chain(K_SHORT), big)}
+    for lng, sht, arg in chains.values():   # compile warmup
+        jax.block_until_ready(lng(arg))
+        jax.block_until_ready(sht(arg))
+
+    def _t(fn, arg):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(arg))
+        return time.perf_counter() - t0
+
+    def sample():
+        out = []
+        for lng, sht, arg in chains.values():
+            dt = _t(lng, arg) - _t(sht, arg)
+            out.append(max(dt, 1e-9) / (K_LONG - K_SHORT) * 1e3)
+        return tuple(out)
+
+    return sample
+
 
 def main():
     import os
@@ -100,15 +171,28 @@ def main():
     res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
     jax.block_until_ready(res.trans)
 
-    # median-of-N timing: the tunneled chip shows ~4% run-to-run variance
+    # median-of-N timing: the tunneled chip shows ~4% run-to-run variance.
+    # A fixed-shape window probe (MXU matmul + HBM stream) runs interleaved
+    # with the solve samples: whole windows run ~20% slow on identical
+    # code+cache, and probe/nominal makes that visible inside the artifact.
+    probe = _make_window_probes(jax, jnp)
+    probe()  # compile warmup
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
-    times = []
+    times, probes = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))
         jax.block_until_ready(res.trans)
         times.append(time.perf_counter() - t0)
+        probes.append(probe())
     dt = float(np.median(times))
+    probe_mm = float(np.median([p[0] for p in probes]))
+    probe_st = float(np.median([p[1] for p in probes]))
+    # window speed: how fast this window runs vs the pinned good-window
+    # nominals (<1 = slow window). Geometric mean of the two probe ratios.
+    window_speed = float(np.sqrt(
+        (PROBE_NOMINAL["matmul_ms"] / probe_mm)
+        * (PROBE_NOMINAL["stream_ms"] / probe_st)))
 
     fps = FRAMES / dt
     err_mm = float(np.mean(np.asarray(res.data_err))) * 1000.0
@@ -161,6 +245,15 @@ def main():
             "v2v_hands_mm": round(v2v_hand_mm, 4),
             "solve_seconds": round(dt, 3),
             "solve_seconds_all": [round(t, 3) for t in times],
+            "window_probe": {
+                "matmul_ms": round(probe_mm, 3),
+                "stream_ms": round(probe_st, 3),
+                "matmul_ms_all": [round(p[0], 3) for p in probes],
+                "stream_ms_all": [round(p[1], 3) for p in probes],
+                "nominal": PROBE_NOMINAL,
+                "window_speed": round(window_speed, 3),
+                "fps_window_normalized": round(fps / window_speed, 1),
+            },
             "device": str(jax.devices()[0]),
             "roofline": roofline,
         },
@@ -211,7 +304,7 @@ def _roofline(jax, jnp, prob, opts, prior, obs, mask, F, M, P, model):
 
     asm = jax.jit(lambda x, a: sys_b(x, a))
     out = jax.block_until_ready(asm(x0, aux))
-    g, B = out[1], out[2]
+    g, B = out[1], out[2]          # B frame-minor (D, D, N) on the fused path
 
     def timeit(fn, *args, n=10):
         jax.block_until_ready(fn(*args))
@@ -227,7 +320,8 @@ def _roofline(jax, jnp, prob, opts, prior, obs, mask, F, M, P, model):
     delta = jnp.full((F,), 0.5, jnp.float32)
     plin = jnp.zeros((F, D), jnp.float32)
     dirk = jax.jit(lambda g_, B_, p_, m_, d_: dogleg_direction_batched(
-        g_, B_, p_, m_, d_, iters=opts.cg_iters, damping=1e-8))
+        g_, B_, p_, m_, d_, iters=opts.cg_iters, damping=1e-8,
+        b_frame_minor=system.b_frame_minor))
     t_dir = timeit(dirk, g, B, plin, pmask, delta)
 
     jm_b = F * 3 * M * D * 4
