@@ -654,7 +654,8 @@ def make_stageii_system(prob: StageIIProblem,
     use_bt = (body_rng is not None
               or prior_n is None or spec.body_ids is None)
     # A/B lever: 'frame_minor' emits B as (D, D, N) (no relayout before the
-    # direction kernel); 'batch' emits (N, D, D) with the quads still fused
+    # direction kernel); 'batch' emits (N, D, D) with the quads still fused;
+    # 'legacy' is the round-4 assembly (3-GEMM einsum + vmapped _quad_terms)
     _BT_LAYOUT = os.environ.get("MOSHPP_BT_LAYOUT", "frame_minor")
 
     def system_fn_batched(x, aux):
@@ -692,7 +693,7 @@ def make_stageii_system(prob: StageIIProblem,
             rd = (sim - aux["markers"]) * wrow[..., None]
             Jd = Jm * wrow[..., None, None]
         f0 = jnp.sum(rd * rd, axis=(1, 2))   # full f32: e_3 compares f
-        if not use_bt:
+        if not use_bt or _BT_LAYOUT == "legacy":
             with jax.default_matmul_precision(opts.jac_precision):
                 g = jnp.einsum("nmc,nmcd->nd", rd, Jd)
                 B = jnp.einsum("nmcd,nmce->nde", Jd, Jd)

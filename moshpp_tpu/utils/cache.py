@@ -24,24 +24,30 @@ def jax_cache_dir(base: str = "/tmp/moshpp_tpu_jax_cache") -> str:
     try:
         import jaxlib
         ver = getattr(jaxlib, "__version__", "unknown")
-        model = flags = ""
+        want = ("flags", "model name", "cpu family", "model\t", "model :",
+                "stepping")
+        lines = []
         with open("/proc/cpuinfo") as f:
             for ln in f:
-                if not flags and ln.startswith("flags"):
-                    flags = ln.strip()
-                if not model and ln.startswith("model name"):
-                    model = ln.strip()
-                if flags and model:
+                if any(ln.startswith(w) for w in want):
+                    lines.append(ln.strip())
+                if ln.strip() == "":      # first logical cpu only
                     break
-        # The XLA:CPU machine-feature check is finer than the cpuinfo flag
-        # set (a round-4 multichip run still warned about a machine-type
-        # mismatch under an identical flags line), and virtual-device
-        # topology changes the compiled program too — fold the platform
-        # selection + XLA flags + cpu model into the key as well.
+        # The XLA:CPU machine-feature check keys off LLVM's CPUID-based
+        # microarch detection, which virtualization does NOT mask even when
+        # it genericizes the "model name" string ("Intel(R) Xeon(R)
+        # Processor @ 2.10GHz" on every scratch VM here). Two hosts with
+        # identical flags + generic name but different family/model CPUID
+        # leaves get different AOT machine features (+prefer-no-gather on
+        # one, not the other — observed round 5) — so the key must include
+        # the numeric family/model/stepping lines, not just the name.
+        # Virtual-device topology changes the compiled program too — fold
+        # the platform selection + XLA flags in as well.
         env = (os.environ.get("JAX_PLATFORMS", "")
                + "|" + os.environ.get("XLA_FLAGS", ""))
         key = hashlib.sha1(
-            f"{ver}|{model}|{flags}|{env}".encode()).hexdigest()[:10]
+            ("|".join([ver] + sorted(lines) + [env])).encode()
+        ).hexdigest()[:10]
         return f"{base}_{key}"
     except Exception:
         return base

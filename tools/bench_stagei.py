@@ -144,7 +144,8 @@ def _scipy_anchor(model, world, layout, opts, prior, jax, jnp):
         residual, pmask = build_stagei_step(ctx, betas, latents, anneal,
                                             detailed)
         free = np.where(pmask > 0)[0]
-        x_full = np.asarray(lay.pack(betas, latents, poses, trans, None))
+        # np.array copy: asarray on a jax array yields a read-only view
+        x_full = np.array(lay.pack(betas, latents, poses, trans, None))
 
         r_jit = jax.jit(residual)
         jac_jit = jax.jit(jax.jacfwd(residual))

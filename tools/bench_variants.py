@@ -106,8 +106,13 @@ def main():
         return mosh_stageii_solve(pr, opts, o, m, prior=prior,
                                   model_type=model_type)
 
+    t0 = time.perf_counter()
     res = solve(prob, jnp.asarray(obs), jnp.asarray(mask))   # compile
     jax.block_until_ready(res.trans)
+    # wall time of the first solve = compile+run (compile-cache-warm if the
+    # cache has entries; run with a fresh MOSHPP_JAX_CACHE to measure cold).
+    # Recorded for the E=80 operational-viability question (VERDICT r4 #2).
+    compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(repeat):
@@ -121,6 +126,7 @@ def main():
     print(json.dumps({
         "fps": round(FRAMES / dt, 1), "err_mm": round(err_mm, 4),
         "times": [round(t, 4) for t in times],
+        "first_solve_seconds": round(compile_s, 1),
         "model_type": model_type, "overrides": base,
         "fused_extra_reduce": __import__(
             "moshpp_tpu.ops.pallas_marker_jac", fromlist=["x"]
